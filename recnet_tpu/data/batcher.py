@@ -1,0 +1,105 @@
+"""Fixed-shape batching + host→device prefetch. Replaces torch DataLoader.
+
+TPU-first design: every batch has the exact same shape — videos
+(B, frames, feat) batch-first (reference keeps videos batch-first,
+dataset/MSVD.py:71) and captions time-major (T, B) (the reference transposes
+at dataset/MSVD.py:72). A short final batch is padded by repeating the last
+example with vid="PAD" (reference: dataset/MSVD.py:57-61,80-84), so the jitted
+step never sees a new shape and never recompiles.
+
+The prefetcher is a daemon thread pushing ready device arrays through a small
+queue — the host assembles batch N+1 while the TPU runs batch N (replaces
+DataLoader(num_workers=4), reference: config.py:53).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterable, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+
+class Batcher:
+    """Iterates a CaptionDataset/ScoreDataset in fixed-size batches."""
+
+    def __init__(self, dataset, batch_size: int, shuffle: bool = True,
+                 seed: int = 0, has_captions: bool = True):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.has_captions = has_captions
+        self._rng = np.random.default_rng(seed)
+        self._epoch = 0
+
+    def __len__(self) -> int:
+        return (len(self.dataset) + self.batch_size - 1) // self.batch_size
+
+    def __iter__(self) -> Iterator:
+        n = len(self.dataset)
+        order = np.arange(n)
+        if self.shuffle:
+            self._rng.shuffle(order)
+        self._epoch += 1
+        for start in range(0, n, self.batch_size):
+            idxs = order[start:start + self.batch_size]
+            yield self._collate(idxs)
+
+    def _collate(self, idxs: Sequence[int]):
+        items = [self.dataset.get(int(i)) for i in idxs]
+        pad_len = self.batch_size - len(items)
+        vids = [it[0] for it in items] + ["PAD"] * pad_len
+        if pad_len:
+            items = items + [items[-1]] * pad_len
+
+        videos = np.stack([np.asarray(it[1], np.float32) for it in items])
+        if not self.has_captions:
+            return vids, videos
+        captions = np.stack([np.asarray(it[2], np.int32) for it in items])
+        captions = captions.T  # (T, B) time-major for lax.scan
+        return vids, videos, captions
+
+
+def cycle(iterable: Iterable) -> Iterator:
+    """Infinite epoch loop (reference: utils.py:5-8)."""
+    while True:
+        for x in iterable:
+            yield x
+
+
+def prefetch_to_device(iterator: Iterator, size: int = 2, sharding=None,
+                       device_indices: Optional[Sequence[int]] = None):
+    """Overlap host batch assembly + H2D transfer with device compute.
+
+    Array leaves are jax.device_put (optionally with a NamedSharding so
+    batches land pre-sharded across the mesh); non-array leaves (vid string
+    lists) pass through untouched.
+    """
+    import jax
+
+    q: queue.Queue = queue.Queue(maxsize=size)
+    _SENTINEL = object()
+
+    def put(batch):
+        def maybe_put(x):
+            if isinstance(x, np.ndarray):
+                return jax.device_put(x, sharding) if sharding is not None \
+                    else jax.device_put(x)
+            return x
+        return tuple(maybe_put(x) for x in batch)
+
+    def worker():
+        try:
+            for batch in iterator:
+                q.put(put(batch))
+        finally:
+            q.put(_SENTINEL)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _SENTINEL:
+            break
+        yield item

@@ -1,0 +1,94 @@
+"""Corpus facade: vocab + per-split datasets + batchers.
+
+The TPU-native counterpart of the reference's ``MSVD`` facade
+(reference: dataset/MSVD.py:17-162): exposes ``.vocab``,
+``.train/val/test_batcher``, ``.score_batcher`` and
+``.test_dataset.video_caption_pairs``. MSR-VTT is supported through the same
+facade (the reference lists MSR-VTT results but has no loader for it).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from recnet_tpu.config import TrainConfig
+from recnet_tpu.data import datasets as D
+from recnet_tpu.data import transforms as T
+from recnet_tpu.data.batcher import Batcher
+from recnet_tpu.data.vocab import Vocab
+
+
+class Corpus:
+    """Builds vocab, transforms, datasets and batchers from a TrainConfig."""
+
+    def __init__(self, config: TrainConfig, vocab: Optional[Vocab] = None):
+        self.C = config
+        rng = np.random.default_rng(config.seed)
+
+        self.transform_sentence = T.sentence_pipeline(config.caption_max_len)
+        self.transform_frame = T.frame_pipeline(
+            config.frame_sampling_method, config.encoder_output_len, rng)
+
+        self.vocab = vocab if vocab is not None else self.build_vocab()
+
+        self.transform_caption = T.caption_pipeline(
+            self.transform_sentence, self.vocab.word2idx,
+            self.vocab.max_sentence_len)
+
+        self.train_dataset = self.val_dataset = self.test_dataset = None
+        self.score_dataset = None
+        self.train_batcher = self.val_batcher = self.test_batcher = None
+        self.score_batcher = None
+
+        if config.build_train_data_loader:
+            self.train_dataset = self._dataset("train")
+            self.train_batcher = self._batcher(self.train_dataset)
+        if config.build_val_data_loader:
+            self.val_dataset = self._dataset("val")
+            self.val_batcher = self._batcher(self.val_dataset)
+        if config.build_test_data_loader:
+            self.test_dataset = self._dataset("test")
+            self.test_batcher = self._batcher(self.test_dataset)
+        if config.build_score_data_loader:
+            videos = D.load_videos_hdf5(self.C.video_fpath("test"))
+            self.score_dataset = D.ScoreDataset(videos, self.transform_frame)
+            # The reference shuffles even the score loader (config.py:52,
+            # dataset/MSVD.py:159); we keep insertion order for determinism —
+            # evaluate() deduplicates by vid either way.
+            self.score_batcher = Batcher(
+                self.score_dataset, self.C.batch_size, shuffle=False,
+                has_captions=False)
+
+    # ---- corpus-format dispatch ----
+
+    def _load_caption_values(self) -> List[str]:
+        if self.C.corpus == "MSVD":
+            return D.load_msvd_caption_values(self.C.total_caption_fpath)
+        elif self.C.corpus == "MSR-VTT":
+            return D.load_msrvtt_caption_values(self.C.total_caption_fpath)
+        raise NotImplementedError(f"Unknown corpus: {self.C.corpus}")
+
+    def _load_captions(self, fpath: str) -> Dict[str, List[str]]:
+        if self.C.corpus == "MSVD":
+            return D.load_msvd_captions(fpath)
+        elif self.C.corpus == "MSR-VTT":
+            return D.load_msrvtt_captions(fpath)
+        raise NotImplementedError(f"Unknown corpus: {self.C.corpus}")
+
+    def build_vocab(self) -> Vocab:
+        vocab = Vocab(self.C.init_word2idx_dict, self.C.min_count)
+        vocab.build(self._load_caption_values(), self.transform_sentence)
+        return vocab
+
+    def _dataset(self, split: str) -> D.CaptionDataset:
+        videos = D.load_videos_hdf5(self.C.video_fpath(split))
+        captions = self._load_captions(self.C.caption_fpath(split))
+        return D.CaptionDataset(videos, captions,
+                                transform_frame=self.transform_frame,
+                                transform_caption=self.transform_caption)
+
+    def _batcher(self, dataset) -> Batcher:
+        return Batcher(dataset, self.C.batch_size, shuffle=self.C.shuffle,
+                       seed=self.C.seed, has_captions=True)

@@ -1,0 +1,104 @@
+"""Synthetic MSVD-shaped fixture: tiny HDF5 feature files + caption CSV.
+
+Stands in for the real MSVD data (which is not in the image) so the full
+L0→L6 pipeline can be exercised end-to-end in tests.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+WORDS = ("a man is playing guitar the dog runs fast cat jumps high "
+         "woman cooks food in kitchen someone rides bike on road "
+         "two people are dancing slowly").split()
+
+
+def make_msvd_fixture(root: str, n_videos: int = 12, feat_dim: int = 32,
+                      captions_per_video: int = 3, seed: int = 0,
+                      corpus: str = "MSVD", encoder: str = "Tiny",
+                      splits: Tuple[int, int, int] = (8, 2, 2)):
+    """Write features/Tiny_{split}.hdf5 + metadata/{split}.csv + totals.
+
+    Returns the list of vids per split.
+    """
+    import h5py
+    import pandas as pd
+
+    rng = np.random.default_rng(seed)
+    feat_dir = os.path.join(root, corpus, "features")
+    meta_dir = os.path.join(root, corpus, "metadata")
+    os.makedirs(feat_dir, exist_ok=True)
+    os.makedirs(meta_dir, exist_ok=True)
+
+    vids = []
+    videos: Dict[str, np.ndarray] = {}
+    rows: List[dict] = []
+    for i in range(n_videos):
+        vid_id = f"vid{i:03d}"
+        start, end = 0, 10 + i
+        vid = f"{vid_id}_{start}_{end}"
+        vids.append(vid)
+        n_frames = int(rng.integers(5, 60))
+        videos[vid] = rng.standard_normal((n_frames, feat_dim)).astype(np.float32)
+        for j in range(captions_per_video):
+            n_words = int(rng.integers(3, 10))
+            caption = " ".join(rng.choice(WORDS, n_words))
+            rows.append({"VideoID": vid_id, "Start": start, "End": end,
+                         "Language": "English", "Description": caption})
+        # a non-English + a null row that the loaders must filter out
+        rows.append({"VideoID": vid_id, "Start": start, "End": end,
+                     "Language": "French", "Description": "ce n'est pas anglais"})
+        rows.append({"VideoID": vid_id, "Start": start, "End": end,
+                     "Language": "English", "Description": None})
+
+    df = pd.DataFrame(rows)
+    df.to_csv(os.path.join(meta_dir, "MSR Video Description Corpus.csv"),
+              index=False)
+
+    with h5py.File(os.path.join(feat_dir, f"{encoder}.hdf5"), "w") as f:
+        for vid, arr in videos.items():
+            f[vid] = arr
+
+    n_train, n_val, n_test = splits
+    split_vids = {
+        "train": vids[:n_train],
+        "val": vids[n_train:n_train + n_val],
+        "test": vids[n_train + n_val:n_train + n_val + n_test],
+    }
+    for name, svids in split_vids.items():
+        with h5py.File(os.path.join(feat_dir, f"{encoder}_{name}.hdf5"), "w") as f:
+            for vid in svids:
+                f[vid] = videos[vid]
+        sset = set(svids)
+        keep = df[df.apply(
+            lambda r: f"{r['VideoID']}_{r['Start']}_{r['End']}" in sset, axis=1)]
+        keep.to_csv(os.path.join(meta_dir, f"{name}.csv"), index=False)
+
+    return split_vids
+
+
+def tiny_train_config(root: str, **overrides):
+    """A TrainConfig pointed at the fixture with model dims shrunk."""
+    from recnet_tpu.config import TrainConfig
+
+    kw = dict(
+        data_root=root,
+        encoder_model="Tiny",
+        min_count=1,
+        caption_max_len=10,
+        batch_size=4,
+        embedding_size=12,
+        encoder_output_size=32,
+        encoder_output_len=6,
+        decoder_hidden_size=16,
+        decoder_attn_size=8,
+        reconstructor_hidden_size=32,
+        reconstructor_attn_size=8,
+        n_iterations=5,
+        log_every=2, validate_every=4, test_every=5, save_every=5,
+    )
+    kw.update(overrides)
+    return TrainConfig(**kw)

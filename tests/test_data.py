@@ -1,0 +1,151 @@
+"""Data layer tests: transforms, vocab, datasets, batcher, corpus facade."""
+
+import numpy as np
+import pytest
+
+from recnet_tpu.config import TrainConfig
+from recnet_tpu.data import transforms as T
+from recnet_tpu.data.batcher import Batcher, cycle
+from recnet_tpu.data.corpus import Corpus
+from recnet_tpu.data.vocab import Vocab
+
+from fixtures import make_msvd_fixture, tiny_train_config
+
+
+# ---------------- transforms ----------------
+
+def test_uniform_sample_matches_reference_semantics():
+    """int(linspace) truncation, not rounding (reference transform.py:18)."""
+    frames = np.arange(50)[:, None].astype(np.float32)
+    out = T.UniformSample(28)(frames)
+    expected_idx = [int(i) for i in np.linspace(0, 49, 28)]
+    np.testing.assert_array_equal(out[:, 0].astype(int), expected_idx)
+
+
+def test_uniform_sample_short_clip_passthrough_and_pad():
+    frames = np.ones((5, 4), np.float32)
+    out = T.UniformSample(28)(frames)
+    assert out.shape == (5, 4)
+    padded = T.ZeroPadIfLessThan(28)(out)
+    assert padded.shape == (28, 4)
+    assert np.all(padded[5:] == 0)
+    assert np.all(padded[:5] == 1)
+
+
+def test_random_and_jitter_sample_shapes():
+    rng = np.random.default_rng(0)
+    frames = np.arange(100)[:, None].astype(np.float32)
+    out = T.RandomSample(28, rng)(frames)
+    assert out.shape == (28, 1)
+    assert np.all(np.diff(out[:, 0]) >= 0)  # sorted
+    out = T.UniformJitterSample(28, rng)(frames)
+    assert out.shape == (28, 1)
+    assert np.all(np.diff(out[:, 0]) >= 0)
+    assert out.min() >= 0 and out.max() <= 99
+
+
+def test_sentence_pipeline():
+    pipe = T.sentence_pipeline(5)
+    words = pipe("The QUICK, brown fox! Jumps over the lazy dogé")
+    # punctuation removed, lowercased, split, truncated to 5
+    assert words == ["the", "quick", "brown", "fox", "jumps"]
+
+
+def test_caption_pipeline_pads_and_indexes():
+    sent = T.sentence_pipeline(4)
+    w2i = {"<PAD>": 0, "<SOS>": 1, "<EOS>": 2, "the": 3, "cat": 4}
+    pipe = T.caption_pipeline(sent, w2i, max_sentence_len=4)
+    out = pipe("The cat UNKNOWNWORD sat")
+    # "the cat" -> [3, 4], OOV dropped, +EOS, padded to 5
+    np.testing.assert_array_equal(out, [3, 4, 2, 0, 0])
+    assert out.dtype == np.int32
+
+
+# ---------------- vocab ----------------
+
+def test_vocab_min_count_and_special_tokens():
+    caps = ["a a a b b c", "a b d", "c"]
+    v = Vocab({"<PAD>": 0, "<SOS>": 1, "<EOS>": 2}, min_count=2).build(
+        caps, str.split)
+    assert v.word2idx["<PAD>"] == 0
+    assert v.word2idx["<SOS>"] == 1
+    assert v.word2idx["<EOS>"] == 2
+    # a(4), b(3), c(2) kept; d(1) trimmed
+    assert set(v.word2idx) == {"<PAD>", "<SOS>", "<EOS>", "a", "b", "c"}
+    assert v.n_vocabs == 6
+    assert v.n_vocabs_untrimmed == 4
+    assert v.n_words == 9
+    assert v.n_words_untrimmed == 10
+    assert v.max_sentence_len == 6
+
+
+def test_vocab_roundtrip_json():
+    caps = ["x y z", "x y", "x"]
+    v = Vocab({"<PAD>": 0, "<SOS>": 1, "<EOS>": 2}, min_count=2).build(
+        caps, str.split)
+    v2 = Vocab.from_json(v.to_json())
+    assert v2.word2idx == v.word2idx
+    assert v2.idx2word == v.idx2word
+    assert v2.max_sentence_len == v.max_sentence_len
+
+
+def test_vocab_deterministic_order():
+    caps = ["b a", "a b", "c a b"]
+    v1 = Vocab({"<PAD>": 0}, 1).build(caps, str.split)
+    v2 = Vocab({"<PAD>": 0}, 1).build(caps, str.split)
+    assert v1.word2idx == v2.word2idx
+    assert v1.word2idx["b"] == 1  # first-appearance order
+
+
+# ---------------- corpus + batcher (fixture end-to-end) ----------------
+
+@pytest.fixture(scope="module")
+def fixture_root(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("msvd"))
+    make_msvd_fixture(root)
+    return root
+
+
+def test_corpus_builds(fixture_root):
+    cfg = tiny_train_config(fixture_root)
+    corpus = Corpus(cfg)
+    assert corpus.vocab.n_vocabs > 3
+    assert len(corpus.train_dataset) == 8 * 3
+    assert len(corpus.score_dataset) == 2
+    vid, video, caption = corpus.train_dataset.get(0)
+    assert video.shape == (cfg.encoder_output_len, cfg.encoder_output_size)
+    assert caption.shape == (corpus.vocab.max_sentence_len + 1,)
+
+
+def test_batcher_fixed_shapes_and_pad(fixture_root):
+    cfg = tiny_train_config(fixture_root)
+    corpus = Corpus(cfg)
+    batches = list(corpus.train_batcher)
+    assert len(batches) == 6  # 24 pairs / bs 4
+    for vids, videos, captions in batches:
+        assert len(vids) == 4
+        assert videos.shape == (4, cfg.encoder_output_len, cfg.encoder_output_size)
+        assert captions.shape[1] == 4  # time-major (T, B)
+    # score batcher pads the odd batch with "PAD"
+    sb = list(corpus.score_batcher)
+    assert len(sb) == 1
+    vids, videos = sb[0]
+    assert vids[2:] == ["PAD", "PAD"]
+    assert videos.shape[0] == 4
+
+
+def test_cycle_infinite(fixture_root):
+    cfg = tiny_train_config(fixture_root)
+    corpus = Corpus(cfg)
+    it = cycle(corpus.train_batcher)
+    seen = [next(it) for _ in range(8)]  # > one epoch (6 batches)
+    assert len(seen) == 8
+
+
+def test_config_json_roundtrip():
+    cfg = TrainConfig(decoder_model="LSTM", use_recon=True,
+                      reconstructor_type="local")
+    cfg2 = TrainConfig.from_json(cfg.to_json())
+    assert cfg2 == cfg
+    assert cfg2.search_methods == ("greedy", ("beam", 5))
+    assert "RecNet" in cfg2.id and "REC-local" in cfg2.id
