@@ -1,0 +1,189 @@
+"""Attention RNN caption decoder — functional, scan-friendly, fixed-shape.
+
+Rebuild of the reference Decoder (reference: models/decoder.py:6-70):
+embedding·scale + dropout → *unnormalized* additive attention over encoder
+features (no softmax — decoder.py:30 constructs one but :55-61 never applies
+it; scores mean-pool the features) → LSTM/GRU → vocab projection + dropout.
+
+TPU-first differences from the reference's per-step Python loop
+(train.py:41-67):
+* the value projection U·v is precomputed once per sequence (attention.py);
+* the whole teacher-forced rollout is ONE ``lax.scan`` inside ONE jitted step;
+* shapes are fixed (T = caption_max_len+1) with masking instead of the
+  reference's early loop break — proven loss-equivalent in tests.
+
+``nn.LSTM(dropout=p)`` applies dropout only *between* stacked layers, so the
+reference's ``decoder_dropout`` is a no-op at n_layers=1; ours matches (the
+inter-layer dropout only fires for n_layers > 1).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from recnet_tpu.ops import attention as attn_ops
+from recnet_tpu.ops import rnn as rnn_ops
+
+
+class DecoderConfig(NamedTuple):
+    """Static hyperparameters (hashable, jit-friendly)."""
+    cell_type: str = "GRU"            # ["LSTM", "GRU"]
+    n_layers: int = 1
+    vocab_size: int = 4188
+    embedding_size: int = 468
+    embedding_scale: float = 1.0
+    encoder_size: int = 1536
+    hidden_size: int = 512
+    attn_size: int = 128
+    embedding_dropout: float = 0.5
+    dropout: float = 0.5              # inter-layer RNN dropout
+    out_dropout: float = 0.5
+    sos_token: int = 1
+    pad_token: int = 0
+
+
+def init_decoder_params(key: jax.Array, cfg: DecoderConfig,
+                        dtype=jnp.float32) -> Dict:
+    k_emb, k_attn, k_out_w, k_out_b, *k_rnn = jax.random.split(
+        key, 4 + cfg.n_layers)
+    bound = 1.0 / (cfg.hidden_size ** 0.5)
+    rnn_layers = []
+    for li in range(cfg.n_layers):
+        in_size = (cfg.embedding_size + cfg.encoder_size) if li == 0 \
+            else cfg.hidden_size
+        rnn_layers.append(rnn_ops.init_rnn_params(
+            k_rnn[li], cfg.cell_type, in_size, cfg.hidden_size, dtype))
+    return {
+        # nn.Embedding default init: N(0, 1)
+        "embedding": jax.random.normal(
+            k_emb, (cfg.vocab_size, cfg.embedding_size), dtype),
+        "attention": attn_ops.init_attention_params(
+            k_attn, cfg.hidden_size, cfg.encoder_size, cfg.attn_size, dtype),
+        "rnn": rnn_layers,
+        "out_w": jax.random.uniform(
+            k_out_w, (cfg.hidden_size, cfg.vocab_size), dtype, -bound, bound),
+        "out_b": jax.random.uniform(
+            k_out_b, (cfg.vocab_size,), dtype, -bound, bound),
+    }
+
+
+def zero_state(cfg: DecoderConfig, batch_size: int, dtype=jnp.float32):
+    """(h, c) each (L, B, H), zero-init (reference: train.py:28-35)."""
+    z = jnp.zeros((cfg.n_layers, batch_size, cfg.hidden_size), dtype)
+    return (z, z)
+
+
+def _dropout(x: jax.Array, rate: float, rng: Optional[jax.Array],
+             train: bool) -> jax.Array:
+    if not train or rate <= 0.0 or rng is None:
+        return x
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(rng, keep, x.shape)
+    return jnp.where(mask, x / keep, 0.0)
+
+
+def _multilayer_rnn(cfg: DecoderConfig, params_layers, x, state,
+                    rng: Optional[jax.Array], train: bool):
+    """Stacked cells with inter-layer dropout (PyTorch nn.RNN semantics)."""
+    h, c = state
+    new_h, new_c = [], []
+    inp = x
+    for li, p in enumerate(params_layers):
+        hi, ci = rnn_ops.rnn_step(cfg.cell_type, p, inp, (h[li], c[li]))
+        new_h.append(hi)
+        new_c.append(ci)
+        inp = hi
+        if li + 1 < len(params_layers) and train and cfg.dropout > 0 and rng is not None:
+            inp = _dropout(inp, cfg.dropout, jax.random.fold_in(rng, li), train)
+    return inp, (jnp.stack(new_h), jnp.stack(new_c))
+
+
+def decoder_step(params: Dict, cfg: DecoderConfig, token: jax.Array,
+                 state, encoder_outputs: jax.Array, uv: jax.Array,
+                 rng: Optional[jax.Array] = None, train: bool = False
+                 ) -> Tuple[jax.Array, Tuple]:
+    """One decode step (reference: models/decoder.py:45-70).
+
+    token: (B,) int32; state: (h, c) each (L, B, H);
+    encoder_outputs: (B, F, enc); uv: (B, F, A) precomputed U·v.
+    Returns (logits (B, V), new_state).
+    """
+    if rng is not None:
+        r_emb, r_rnn, r_out = jax.random.split(rng, 3)
+    else:
+        r_emb = r_rnn = r_out = None
+
+    emb = params["embedding"][token] * cfg.embedding_scale
+    emb = _dropout(emb, cfg.embedding_dropout, r_emb, train)
+
+    query = state[0][-1]  # last-layer h (decoder.py:51-53)
+    context = attn_ops.attend_mean(
+        params["attention"], query, encoder_outputs, uv)
+
+    x = jnp.concatenate([emb, context], axis=-1)
+    output, new_state = _multilayer_rnn(cfg, params["rnn"], x, state,
+                                        r_rnn, train)
+
+    logits = output @ params["out_w"] + params["out_b"]
+    logits = _dropout(logits, cfg.out_dropout, r_out, train)
+    return logits, new_state
+
+
+class DecoderRollout(NamedTuple):
+    logits: jax.Array          # (T, B, V)
+    hiddens: jax.Array         # (T, L, B, H) — all-layer h per step (train.py:61-64)
+    greedy_tokens: jax.Array   # (T, B) argmax chain (used when not teacher forcing)
+
+
+def teacher_forced_rollout(params: Dict, cfg: DecoderConfig,
+                           encoder_outputs: jax.Array, targets: jax.Array,
+                           use_teacher_forcing: jax.Array,
+                           rng: Optional[jax.Array] = None,
+                           train: bool = False) -> DecoderRollout:
+    """Full T-step rollout as one lax.scan (replaces train.py:41-67 loop).
+
+    targets: (T, B) int32. ``use_teacher_forcing`` is a scalar bool traced per
+    iteration — the reference draws ONE Bernoulli per iteration for the whole
+    batch/sequence (train.py:37-38), not per step.
+    """
+    T, B = targets.shape
+    uv = attn_ops.precompute_uv(params["attention"], encoder_outputs)
+    init_token = jnp.full((B,), cfg.sos_token, jnp.int32)
+
+    def step(carry, xs):
+        state, token = carry
+        t, tgt_t = xs
+        step_rng = None if rng is None else jax.random.fold_in(rng, t)
+        logits, new_state = decoder_step(
+            params, cfg, token, state, encoder_outputs, uv, step_rng, train)
+        greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        next_token = jnp.where(use_teacher_forcing, tgt_t, greedy)
+        return (new_state, next_token), (logits, new_state[0], greedy)
+
+    init = (zero_state(cfg, B, encoder_outputs.dtype), init_token)
+    xs = (jnp.arange(T), targets)
+    _, (logits, hiddens, greedy_tokens) = jax.lax.scan(step, init, xs)
+    return DecoderRollout(logits, hiddens, greedy_tokens)
+
+
+def config_from_train(tc, vocab_size: int) -> DecoderConfig:
+    """Build a DecoderConfig from a recnet_tpu TrainConfig."""
+    return DecoderConfig(
+        cell_type=tc.decoder_model,
+        n_layers=tc.decoder_n_layers,
+        vocab_size=vocab_size,
+        embedding_size=tc.embedding_size,
+        embedding_scale=tc.embedding_scale,
+        encoder_size=tc.encoder_output_size,
+        hidden_size=tc.decoder_hidden_size,
+        attn_size=tc.decoder_attn_size,
+        embedding_dropout=tc.embedding_dropout,
+        dropout=tc.decoder_dropout,
+        out_dropout=tc.decoder_out_dropout,
+        sos_token=tc.init_word2idx_dict["<SOS>"],
+        pad_token=tc.init_word2idx_dict["<PAD>"],
+    )

@@ -1,0 +1,179 @@
+"""The jitted train/val step — the whole of reference train.py:241-273 as one
+compiled XLA program.
+
+One call = decoder rollout (lax.scan) + reconstructor rollout (lax.scan) +
+joint loss + grads + clip + two optimizer updates. No host round-trips inside;
+metrics come back as device scalars.
+
+Loss semantics (all reference quirks preserved, see ops/losses.py and
+models/reconstructors.py):
+  total = [Σ_t mean-CE_t / Σ tokens + 0.001·Σ‖θ_dec‖]
+        + λ_recon · [recon_mse + 0.01·Σ‖θ_rec‖]
+Teacher forcing is one Bernoulli draw per iteration (train.py:37-38).
+Gradient clip (global-norm 50) applies to the decoder grads only
+(train.py:269-270).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from recnet_tpu.config import TrainConfig
+from recnet_tpu.models import decoder as dec_mod
+from recnet_tpu.models import reconstructors as rec_mod
+from recnet_tpu.ops.losses import step_mean_ce, l2_norm_sum
+from recnet_tpu.training.optim import torch_adam, clip_by_global_norm
+
+
+class TrainState(NamedTuple):
+    step: jax.Array
+    dec_params: Any
+    dec_opt: Any
+    rec_params: Any = None
+    rec_opt: Any = None
+
+
+def init_train_state(key: jax.Array, tc: TrainConfig, vocab_size: int
+                     ) -> Tuple[TrainState, dec_mod.DecoderConfig,
+                                Optional[rec_mod.ReconstructorConfig]]:
+    dcfg = dec_mod.config_from_train(tc, vocab_size)
+    k_dec, k_rec = jax.random.split(key)
+    dec_params = dec_mod.init_decoder_params(k_dec, dcfg)
+    dec_tx = torch_adam(tc.decoder_learning_rate, tc.decoder_weight_decay,
+                        amsgrad=tc.decoder_use_amsgrad)
+    state = TrainState(
+        step=jnp.zeros([], jnp.int32),
+        dec_params=dec_params,
+        dec_opt=dec_tx.init(dec_params),
+    )
+    rcfg = None
+    if tc.use_recon:
+        rcfg = rec_mod.config_from_train(tc)
+        rec_params = rec_mod.init_reconstructor_params(k_rec, rcfg)
+        rec_tx = torch_adam(tc.reconstructor_learning_rate,
+                            tc.reconstructor_weight_decay,
+                            amsgrad=tc.reconstructor_use_amsgrad)
+        state = state._replace(rec_params=rec_params,
+                               rec_opt=rec_tx.init(rec_params))
+    return state, dcfg, rcfg
+
+
+def _forward(dec_params, rec_params, dcfg, rcfg, tc_pad, lambda_recon,
+             dec_lambda_reg, rec_lambda_reg, videos, captions,
+             use_tf, rng, train):
+    """Joint forward; returns (total, aux)."""
+    mask = (captions > tc_pad)                                    # (T, B)
+    if rng is not None:
+        rng_d, rng_r = jax.random.split(rng)
+    else:
+        rng_d = rng_r = None
+
+    rollout = dec_mod.teacher_forced_rollout(
+        dec_params, dcfg, videos, captions, use_tf, rng_d, train)
+    ce, n_tok = step_mean_ce(rollout.logits, captions, mask)
+    dec_loss = ce + dec_lambda_reg * l2_norm_sum(dec_params)
+
+    aux = {"n_tokens": n_tok, "greedy_tokens": rollout.greedy_tokens}
+    if rec_params is None:
+        aux["dec_loss"] = dec_loss
+        aux["rec_loss"] = jnp.zeros([], dec_loss.dtype)
+        return dec_loss, aux
+
+    fmask = mask.astype(rollout.logits.dtype)
+    step_mask = (jnp.sum(fmask, axis=1) > 0).astype(rollout.logits.dtype)
+    t_eff = jnp.maximum(jnp.sum(step_mask), 1.0)
+    rec = rec_mod.recon_loss(rec_params, rcfg, rollout.hiddens, videos,
+                             step_mask, t_eff, rng_r, train)
+    rec_loss = rec + rec_lambda_reg * l2_norm_sum(rec_params)
+    total = dec_loss + lambda_recon * rec_loss
+    aux["dec_loss"] = dec_loss
+    aux["rec_loss"] = rec_loss
+    return total, aux
+
+
+def build_train_step(tc: TrainConfig, dcfg: dec_mod.DecoderConfig,
+                     rcfg: Optional[rec_mod.ReconstructorConfig]):
+    """Returns jitted fn(state, videos, captions, rng) -> (state, metrics)."""
+    dec_tx = torch_adam(tc.decoder_learning_rate, tc.decoder_weight_decay,
+                        amsgrad=tc.decoder_use_amsgrad)
+    rec_tx = torch_adam(tc.reconstructor_learning_rate,
+                        tc.reconstructor_weight_decay,
+                        amsgrad=tc.reconstructor_use_amsgrad) if tc.use_recon \
+        else None
+    pad = tc.init_word2idx_dict["<PAD>"]
+
+    def step_fn(state: TrainState, videos, captions, rng):
+        rng_tf, rng_fwd = jax.random.split(jax.random.fold_in(rng, state.step))
+        # One Bernoulli per iteration for the whole batch (train.py:37-38).
+        use_tf = (jax.random.uniform(rng_tf) <=
+                  tc.decoder_teacher_forcing_ratio)
+
+        def loss_fn(dec_params, rec_params):
+            return _forward(dec_params, rec_params, dcfg, rcfg, pad,
+                            tc.lambda_recon, tc.decoder_lambda_reg,
+                            tc.reconstructor_lambda_reg, videos, captions,
+                            use_tf, rng_fwd, train=True)
+
+        if tc.use_recon:
+            (total, aux), (dec_g, rec_g) = jax.value_and_grad(
+                loss_fn, argnums=(0, 1), has_aux=True)(
+                    state.dec_params, state.rec_params)
+        else:
+            (total, aux), dec_g = jax.value_and_grad(
+                loss_fn, argnums=0, has_aux=True)(state.dec_params, None)
+            rec_g = None
+
+        gnorm = jnp.zeros([], total.dtype)
+        if tc.use_gradient_clip:
+            dec_g, gnorm = clip_by_global_norm(dec_g, tc.gradient_clip)
+
+        dec_updates, dec_opt = dec_tx.update(dec_g, state.dec_opt,
+                                             state.dec_params)
+        dec_params = jax.tree_util.tree_map(
+            lambda p, u: p + u, state.dec_params, dec_updates)
+
+        rec_params, rec_opt = state.rec_params, state.rec_opt
+        if tc.use_recon:
+            rec_updates, rec_opt = rec_tx.update(rec_g, state.rec_opt,
+                                                 state.rec_params)
+            rec_params = jax.tree_util.tree_map(
+                lambda p, u: p + u, state.rec_params, rec_updates)
+
+        new_state = TrainState(state.step + 1, dec_params, dec_opt,
+                               rec_params, rec_opt)
+        metrics = {
+            "loss": total,
+            "dec_loss": aux["dec_loss"],
+            "rec_loss": aux["rec_loss"],
+            "grad_norm": gnorm,
+            "n_tokens": aux["n_tokens"],
+        }
+        return new_state, metrics
+
+    return jax.jit(step_fn, donate_argnums=(0,))
+
+
+def build_val_step(tc: TrainConfig, dcfg: dec_mod.DecoderConfig,
+                   rcfg: Optional[rec_mod.ReconstructorConfig]):
+    """Eval-mode forward with teacher forcing OFF (reference calls
+    forward_decoder with the default ratio 0 at train.py:327-328) — the
+    decoder feeds its own argmax. Returns losses + greedy token chain."""
+    pad = tc.init_word2idx_dict["<PAD>"]
+
+    def val_fn(dec_params, rec_params, videos, captions):
+        total, aux = _forward(
+            dec_params, rec_params, dcfg, rcfg, pad, tc.lambda_recon,
+            tc.decoder_lambda_reg, tc.reconstructor_lambda_reg,
+            videos, captions, use_tf=jnp.asarray(False), rng=None, train=False)
+        return {
+            "loss": total,
+            "dec_loss": aux["dec_loss"],
+            "rec_loss": aux["rec_loss"],
+            "greedy_tokens": aux["greedy_tokens"],
+        }
+
+    return jax.jit(val_fn)
