@@ -64,6 +64,7 @@ class OracleDecoder:
         return logits, new_hidden
 
 
+@torch.no_grad()
 def oracle_forward_decoder(dec: OracleDecoder, enc, targets, max_len,
                            sos_token=1, pad_token=0, teacher_forcing=True):
     """The reference train loop (train.py:17-75): early break included.
@@ -71,7 +72,6 @@ def oracle_forward_decoder(dec: OracleDecoder, enc, targets, max_len,
     enc: (B, F, enc) np; targets: (T, B) np int.
     Returns (ce_loss_normalized, hiddens (T_eff, 1, B, H), greedy (T_eff, B)).
     """
-    torch.set_grad_enabled(False)
     enc = _to_t(enc).float()
     targets = _to_t(targets).long()
     masks = targets > pad_token
@@ -123,9 +123,9 @@ class OracleGlobalRecon:
         self.out_b = _to_t(np.asarray(p["out_b"]))
         self.Hr = Hr
 
+    @torch.no_grad()
     def loss(self, decoder_hiddens, enc):
         """train.py:78-105 + global_reconstructor.py:30-46 (dropout off)."""
-        torch.set_grad_enabled(False)
         dh = _to_t(decoder_hiddens).float()       # (T_eff, 1, B, Hd)
         enc = _to_t(enc).float()
         T_eff, L, B, Hd = dh.shape
@@ -170,9 +170,9 @@ class OracleLocalRecon:
         self.out_b = _to_t(np.asarray(p["out_b"]))
         self.Hr = Hr
 
+    @torch.no_grad()
     def loss(self, decoder_hiddens, enc):
         """train.py:108-131 + local_reconstructor.py:37-55 (dropout off)."""
-        torch.set_grad_enabled(False)
         dh = _to_t(decoder_hiddens).float()       # (T_eff, 1, B, Hd)
         enc = _to_t(enc).float()
         T_eff, L, B, Hd = dh.shape
