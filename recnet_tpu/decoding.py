@@ -1,0 +1,163 @@
+"""Greedy and beam-search decoding as single jitted fixed-shape programs.
+
+Rebuilds reference eval.py:19-120. The reference steps the decoder from Python,
+once per live beam per timestep (eval.py:47-48), with per-(beam,batch) hidden
+regathering through nested Python loops (eval.py:78-102). Here the whole search
+is ONE ``lax.scan``: beams fold into the batch axis for the decoder step, and
+hidden/history reordering is a ``take_along_axis`` gather over a (B, K, ...)
+state PyTree.
+
+Faithful quirks (required for output parity, verified against a NumPy oracle):
+* beam scores use ``log(sigmoid(logits))`` — NOT log-softmax (eval.py:61);
+* the cumulative score is *re-divided* by the length penalty every step:
+  cum' = cum / len^0.7 + logsig (eval.py:59-63);
+* the length for the penalty is (last EOS position + 1) if the beam's history
+  contains an EOS, else t+1 — "last" because the reference's np.where
+  assignment overwrites earlier matches (eval.py:51-58);
+* search stops when every candidate token is <PAD>=0 or at max_len
+  (eval.py:30,116); we freeze state at that point and report n_steps so the
+  host can truncate exactly where the reference's loop broke.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from recnet_tpu.models import decoder as dec_mod
+from recnet_tpu.ops import attention as attn_ops
+
+
+class GreedyResult(NamedTuple):
+    tokens: jax.Array    # (T, B) int32 — valid through n_steps
+    n_steps: jax.Array   # scalar int32
+
+
+@partial(jax.jit, static_argnames=("cfg", "max_len"))
+def greedy_decode(params: Dict, cfg: dec_mod.DecoderConfig,
+                  encoder_outputs: jax.Array, max_len: int) -> GreedyResult:
+    """Greedy argmax chain (reference: eval.py:19-33)."""
+    B = encoder_outputs.shape[0]
+    T = max_len + 1
+    uv = attn_ops.precompute_uv(params["attention"], encoder_outputs)
+    init_token = jnp.full((B,), cfg.sos_token, jnp.int32)
+
+    def step(carry, t):
+        state, token, done, n_steps = carry
+        logits, new_state = dec_mod.decoder_step(
+            params, cfg, token, state, encoder_outputs, uv, None, False)
+        out = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        out = jnp.where(done, jnp.int32(cfg.pad_token), out)
+        new_done = done | jnp.all(out == cfg.pad_token)
+        n_steps = jnp.where(done, n_steps, t + 1)
+        state = jax.tree_util.tree_map(
+            lambda n, o: jnp.where(done, o, n), new_state, state)
+        return (state, out, new_done, n_steps), out
+
+    init = (dec_mod.zero_state(cfg, B, encoder_outputs.dtype), init_token,
+            jnp.asarray(False), jnp.zeros([], jnp.int32))
+    (_, _, _, n_steps), tokens = jax.lax.scan(step, init, jnp.arange(T))
+    return GreedyResult(tokens, n_steps)
+
+
+class BeamResult(NamedTuple):
+    tokens: jax.Array    # (B, T) int32 — top beam history, valid through n_steps
+    n_steps: jax.Array   # scalar int32
+    scores: jax.Array    # (B, K) final cumulative scores
+
+
+@partial(jax.jit, static_argnames=("cfg", "beam_width", "max_len"))
+def beam_decode(params: Dict, cfg: dec_mod.DecoderConfig,
+                encoder_outputs: jax.Array, beam_width: int,
+                max_len: int) -> BeamResult:
+    """Batched beam search (reference: eval.py:36-120), width K, one scan."""
+    B, F, E = encoder_outputs.shape
+    K = beam_width
+    V = cfg.vocab_size
+    T = max_len + 1
+    dtype = encoder_outputs.dtype
+    neg_inf = jnp.asarray(-jnp.inf, dtype)
+
+    enc_rep = jnp.repeat(encoder_outputs, K, axis=0)            # (B*K, F, E)
+    uv_rep = attn_ops.precompute_uv(params["attention"], enc_rep)
+
+    def step(carry, t):
+        (h, c, tokens, cum_prob, last_eos, history, done, n_steps) = carry
+        # h, c: (B, K, L, H); tokens: (B, K); cum_prob: (B, K);
+        # last_eos: (B, K); history: (B, K, T)
+
+        # --- decoder step for all beams at once ---
+        flat = lambda x: x.reshape((B * K,) + x.shape[2:])
+        state = (jnp.moveaxis(flat(h), 1, 0), jnp.moveaxis(flat(c), 1, 0))
+        logits, (nh, nc) = dec_mod.decoder_step(
+            params, cfg, flat(tokens), state, enc_rep, uv_rep, None, False)
+        logits = logits.reshape(B, K, V)
+        nh = jnp.moveaxis(nh, 0, 1).reshape(B, K, -1, nh.shape[-1])
+        nc = jnp.moveaxis(nc, 0, 1).reshape(B, K, -1, nc.shape[-1])
+
+        # --- length-penalized cumulative score (eval.py:51-63) ---
+        seq_len = jnp.where(last_eos >= 0, last_eos + 1, t + 1).astype(dtype)
+        penalized = cum_prob / seq_len ** 0.7                    # (B, K)
+        scores = penalized[..., None] + jax.nn.log_sigmoid(logits)
+        flat_scores = scores.reshape(B, K * V)
+
+        top_val, top_idx = jax.lax.top_k(flat_scores, K)         # (B, K)
+        word = (top_idx % V).astype(jnp.int32)
+        src = (top_idx // V).astype(jnp.int32)
+
+        gather = lambda x: jnp.take_along_axis(
+            x, src.reshape((B, K) + (1,) * (x.ndim - 2)), axis=1)
+
+        new_tokens = word
+        new_cum = top_val
+        new_h = gather(nh)
+        new_c = gather(nc)
+        new_hist = gather(history).at[:, :, t].set(word)
+        new_last_eos = jnp.where(word == cfg.eos_token, t, gather(last_eos))
+
+        new_done = done | jnp.all(word == cfg.pad_token)
+        n_steps = jnp.where(done, n_steps, t + 1)
+
+        # freeze all state once done (reference's loop break)
+        keep = lambda n, o: jnp.where(done, o, n)
+        carry = (keep(new_h, h), keep(new_c, c), keep(new_tokens, tokens),
+                 keep(new_cum, cum_prob), keep(new_last_eos, last_eos),
+                 keep(new_hist, history), new_done, n_steps)
+        return carry, None
+
+    L, H = cfg.n_layers, cfg.hidden_size
+    init_cum = jnp.full((B, K), neg_inf).at[:, 0].set(0.0)  # 1 live beam at t=0
+    init = (
+        jnp.zeros((B, K, L, H), dtype), jnp.zeros((B, K, L, H), dtype),
+        jnp.full((B, K), cfg.sos_token, jnp.int32),
+        init_cum,
+        jnp.full((B, K), -1, jnp.int32),
+        jnp.full((B, K, T), cfg.pad_token, jnp.int32),
+        jnp.asarray(False), jnp.zeros([], jnp.int32),
+    )
+    (h, c, tokens, cum_prob, last_eos, history, done, n_steps) = \
+        jax.lax.scan(step, init, jnp.arange(T))[0]
+    return BeamResult(history[:, 0, :], n_steps, cum_prob)
+
+
+def tokens_to_sentences(idxs, idx2word, eos_token: int):
+    """(T, B) or (B, T)→list[str]; cut at first EOS (reference: utils.py:11-20).
+
+    Accepts time-major (T, B) like the reference's convert_idxs_to_sentences
+    (which transposes internally).
+    """
+    import numpy as np
+
+    arr = np.asarray(idxs).T  # -> (B, T) rows
+    sentences = []
+    for row in arr:
+        words = []
+        for idx in row:
+            if int(idx) == eos_token:
+                break
+            words.append(idx2word[int(idx)])
+        sentences.append(" ".join(words))
+    return sentences

@@ -44,6 +44,7 @@ class DecoderConfig(NamedTuple):
     out_dropout: float = 0.5
     sos_token: int = 1
     pad_token: int = 0
+    eos_token: int = 2
 
 
 def init_decoder_params(key: jax.Array, cfg: DecoderConfig,
@@ -186,4 +187,5 @@ def config_from_train(tc, vocab_size: int) -> DecoderConfig:
         out_dropout=tc.decoder_out_dropout,
         sos_token=tc.init_word2idx_dict["<SOS>"],
         pad_token=tc.init_word2idx_dict["<PAD>"],
+        eos_token=tc.init_word2idx_dict["<EOS>"],
     )

@@ -1,0 +1,153 @@
+"""Greedy/beam decode parity vs a NumPy/torch transcription of eval.py:19-120."""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from recnet_tpu.models import decoder as dec_mod
+from recnet_tpu.decoding import greedy_decode, beam_decode, tokens_to_sentences
+
+from torch_oracle import OracleDecoder
+
+B, F, ENC, V, E, H, A = 4, 6, 18, 23, 8, 12, 7
+MAX_LEN = 9
+PAD, SOS, EOS = 0, 1, 2
+
+
+def _cfg(cell_type):
+    return dec_mod.DecoderConfig(
+        cell_type=cell_type, n_layers=1, vocab_size=V, embedding_size=E,
+        embedding_scale=1.0, encoder_size=ENC, hidden_size=H, attn_size=A,
+        embedding_dropout=0.0, dropout=0.0, out_dropout=0.0,
+        sos_token=SOS, pad_token=PAD, eos_token=EOS)
+
+
+@torch.no_grad()
+def oracle_greedy(dec, enc, max_len):
+    """reference eval.py:19-33."""
+    enc = torch.from_numpy(enc).float()
+    Bn = enc.shape[0]
+    hidden = (torch.zeros(1, Bn, H), torch.zeros(1, Bn, H))
+    token = torch.full((Bn,), SOS, dtype=torch.long)
+    outputs = []
+    for t in range(max_len + 1):
+        logits, hidden = dec.step(token, hidden, enc)
+        token = logits.argmax(dim=1)
+        outputs.append(token.clone().numpy())
+        if t == max_len or bool((token == PAD).all()):
+            break
+    return np.stack(outputs)  # (n_steps, B)
+
+
+@torch.no_grad()
+def oracle_beam(dec, enc, beam_width, max_len):
+    """Transcription of reference eval.py:36-120 (list-based beams)."""
+    enc = torch.from_numpy(enc).float()
+    Bn = enc.shape[0]
+    K = beam_width
+    input_list = [torch.full((Bn,), SOS, dtype=torch.long)]
+    hidden_list = [(torch.zeros(1, Bn, H), torch.zeros(1, Bn, H))]
+    cum_prob_list = [torch.zeros(Bn)]          # log(1) = 0
+    output_list = [[[]] for _ in range(Bn)]
+
+    for t in range(max_len + 1):
+        outputs = None
+        tmp_next_hidden = []
+        for i, (inp, hid, cum) in enumerate(
+                zip(input_list, hidden_list, cum_prob_list)):
+            logits, nh = dec.step(inp, hid, enc)
+            tmp_next_hidden.append(nh)
+
+            np_out = np.asarray(output_list, dtype=np.int64) \
+                if t > 0 else np.zeros((Bn, 1, 0), np.int64)
+            rows, cols = np.where(np_out[:, i] == EOS)
+            seq_len = np.full(Bn, t + 1, np.float64)
+            seq_len[rows] = cols + 1           # later (larger col) wins
+            seq_len = torch.from_numpy(seq_len ** 0.7).float()
+
+            pen = cum / seq_len
+            out = torch.log(torch.sigmoid(logits)) + pen[:, None]
+            outputs = out if outputs is None else torch.cat([outputs, out], 1)
+
+        topk_probs, topk_flat = outputs.topk(K)
+        topk_probs = topk_probs.T              # (K, B)
+        topk_flat = topk_flat.T
+        topk_idxs = topk_flat % V
+        topk_is = topk_flat // V
+
+        next_hidden_list = []
+        for k in range(K):
+            hs, cs = [], []
+            for b in range(Bn):
+                src = int(topk_is[k][b])
+                hs.append(tmp_next_hidden[src][0][:, b])
+                cs.append(tmp_next_hidden[src][1][:, b])
+            next_hidden_list.append(
+                (torch.stack(hs, 1), torch.stack(cs, 1)))
+
+        next_output_list = [[] for _ in range(Bn)]
+        for k in range(K):
+            for b in range(Bn):
+                src = int(topk_is[k][b])
+                next_output_list[b].append(
+                    output_list[b][src] + [int(topk_idxs[k][b])])
+
+        input_list = [topk_idxs[k] for k in range(K)]
+        hidden_list = next_hidden_list
+        cum_prob_list = [topk_probs[k] for k in range(K)]
+        output_list = next_output_list
+
+        if t == max_len or bool((torch.stack(input_list) == PAD).all()):
+            break
+
+    return np.asarray([out[0] for out in output_list])  # (B, n_steps)
+
+
+def _setup(cell_type, seed, peaky=True):
+    cfg = _cfg(cell_type)
+    params = dec_mod.init_decoder_params(jax.random.PRNGKey(seed), cfg)
+    if peaky:
+        # scale up the output projection so EOS/PAD get emitted and the
+        # early-stop paths get exercised
+        params = dict(params)
+        params["out_w"] = params["out_w"] * 8.0
+    rng = np.random.default_rng(seed)
+    enc = rng.standard_normal((B, F, ENC)).astype(np.float32)
+    return cfg, params, enc
+
+
+@pytest.mark.parametrize("cell_type", ["LSTM", "GRU"])
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_greedy_matches_oracle(cell_type, seed):
+    cfg, params, enc = _setup(cell_type, seed)
+    oracle = OracleDecoder(params, cell_type)
+    o_tokens = oracle_greedy(oracle, enc, MAX_LEN)
+
+    res = greedy_decode(params, cfg, jnp.asarray(enc), MAX_LEN)
+    n = int(res.n_steps)
+    assert n == o_tokens.shape[0]
+    np.testing.assert_array_equal(np.asarray(res.tokens)[:n], o_tokens)
+
+
+@pytest.mark.parametrize("cell_type", ["LSTM", "GRU"])
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_beam_matches_oracle(cell_type, seed):
+    K = 3
+    cfg, params, enc = _setup(cell_type, seed)
+    oracle = OracleDecoder(params, cell_type)
+    o_top1 = oracle_beam(oracle, enc, K, MAX_LEN)   # (B, n_steps)
+
+    res = beam_decode(params, cfg, jnp.asarray(enc), K, MAX_LEN)
+    n = int(res.n_steps)
+    assert n == o_top1.shape[1]
+    np.testing.assert_array_equal(np.asarray(res.tokens)[:, :n], o_top1)
+
+
+def test_tokens_to_sentences():
+    idx2word = {0: "<PAD>", 1: "<SOS>", 2: "<EOS>", 3: "cat", 4: "runs"}
+    idxs = np.array([[3, 3], [4, 2], [2, 4]])  # (T=3, B=2)
+    sents = tokens_to_sentences(idxs, idx2word, eos_token=2)
+    assert sents == ["cat runs", "cat"]
