@@ -1,0 +1,79 @@
+"""PTB-style tokenizer — pure Python, no JVM.
+
+Replaces the reference's subprocess call into Stanford CoreNLP's PTBTokenizer
+(reference: coco_caption/pycocoevalcap/tokenizer/ptbtokenizer.py:24-68, jar at
+:18) with a regex implementation of the Penn Treebank tokenization rules as
+used with ``-preserveLines -lowerCase``, followed by removal of the same
+punctuation list (ptbtokenizer.py:21-22).
+
+Known deltas vs the Stanford jar (documented; immaterial for the caption
+domain where text is lowercase alphanumeric): rare unicode normalizations and
+abbreviation-specific period handling.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, List
+
+# ptbtokenizer.py:21-22 — removed AFTER tokenization
+PUNCTUATIONS = {"''", "'", "``", "`", "-LRB-", "-RRB-", "-LCB-", "-RCB-",
+                ".", "?", "!", ",", ":", "-", "--", "...", ";"}
+
+# Penn Treebank tokenization, in the order of the classic sed script.
+_RULES_1 = [
+    (re.compile(r"^\""), r"`` "),                    # leading double quote
+    (re.compile(r'([ (\[{<])"'), r"\1 `` "),          # quote after bracket
+    (re.compile(r"\.\.\."), r" ... "),
+    (re.compile(r"([,;:@#$%&])"), r" \1 "),
+    # word-final period (before optional closers + end)
+    (re.compile(r'([^\.])(\.)([\]\)}>"\']*)\s*$'), r"\1 \2\3 "),
+    (re.compile(r"([?!])"), r" \1 "),
+    (re.compile(r"([\]\[\(\)\{\}<>])"), r" \1 "),
+    (re.compile(r"--"), r" -- "),
+]
+_RULES_2 = [
+    (re.compile(r'"'), r" '' "),                      # remaining double quotes
+    (re.compile(r"([^'])' "), r"\1 ' "),
+    # contractions
+    (re.compile(r"('[sSmMdD]) "), r" \1 "),
+    (re.compile(r"('ll|'LL|'re|'RE|'ve|'VE|n't|N'T) "), r" \1 "),
+    (re.compile(r"\b(can)(not)\b", re.IGNORECASE), r"\1 \2"),
+    (re.compile(r"\b(gon)(na)\b", re.IGNORECASE), r"\1 \2"),
+    (re.compile(r"\b(wan)(na)\b", re.IGNORECASE), r"\1 \2"),
+]
+_BRACKETS = {"(": "-LRB-", ")": "-RRB-", "[": "-LRB-", "]": "-RRB-",
+             "{": "-LCB-", "}": "-RCB-"}
+
+
+def ptb_tokenize_line(line: str, lowercase: bool = True) -> List[str]:
+    s = " " + line.replace("\n", " ") + " "
+    for rx, rep in _RULES_1:
+        s = rx.sub(rep, s)
+    s = s + " "
+    for rx, rep in _RULES_2:
+        s = rx.sub(rep, s)
+    tokens = s.split()
+    if lowercase:
+        tokens = [t.lower() for t in tokens]
+    # bracket placeholders stay uppercase so the PUNCTUATIONS filter
+    # (ptbtokenizer.py:21-22) removes them
+    tokens = [_BRACKETS.get(t, t) for t in tokens]
+    return tokens
+
+
+class PTBTokenizer:
+    """Drop-in for the reference wrapper: dict {id: [{'caption': str}]} →
+    dict {id: [tokenized_str]}, punctuation list removed
+    (ptbtokenizer.py:27-68)."""
+
+    def tokenize(self, captions_for_image: Dict[str, List[dict]]
+                 ) -> Dict[str, List[str]]:
+        out: Dict[str, List[str]] = {}
+        for k, anns in captions_for_image.items():
+            out[k] = []
+            for ann in anns:
+                toks = ptb_tokenize_line(ann["caption"])
+                out[k].append(" ".join(
+                    t for t in toks if t not in PUNCTUATIONS))
+        return out

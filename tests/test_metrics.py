@@ -1,0 +1,184 @@
+"""Metric suite tests: parity vs the reference's own vendored scorers
+(loaded as py3 at test time), plus hand-computed golden values."""
+
+import math
+import random
+
+import numpy as np
+import pytest
+
+from recnet_tpu.metrics import (Bleu, Cider, Meteor, Rouge, PTBTokenizer,
+                                CaptionScorer, gts_from_pairs, res_from_dict)
+from recnet_tpu.metrics.tokenizer import ptb_tokenize_line
+from recnet_tpu.metrics.stemmer import porter_stem
+
+import reference_scorers
+
+WORDS = ("a the man woman dog cat is are playing running jumping guitar "
+         "piano ball park street fast slow red blue two three").split()
+
+
+def _rand_sentence(rng, lo=3, hi=12):
+    return " ".join(rng.choice(WORDS) for _ in range(rng.randint(lo, hi)))
+
+
+def _rand_corpus(seed, n_imgs=25, n_refs=4):
+    rng = random.Random(seed)
+    gts = {f"img{i}": [_rand_sentence(rng) for _ in range(n_refs)]
+           for i in range(n_imgs)}
+    res = {f"img{i}": [_rand_sentence(rng)] for i in range(n_imgs)}
+    # make some hypotheses partially overlap refs for non-trivial scores
+    for i in range(0, n_imgs, 3):
+        ref = gts[f"img{i}"][0].split()
+        cut = max(1, len(ref) // 2)
+        res[f"img{i}"] = [" ".join(ref[:cut] + [_rand_sentence(rng, 1, 3)])]
+    return gts, res
+
+
+needs_ref = pytest.mark.skipif(not reference_scorers.available(),
+                               reason="/root/reference not mounted")
+
+
+@needs_ref
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_bleu_matches_reference(seed):
+    gts, res = _rand_corpus(seed)
+    RefBleuScorer = reference_scorers.load_bleu()
+    ref = RefBleuScorer(n=4)
+    for iid in gts:
+        ref += (res[iid][0], gts[iid])
+    ref_score, ref_scores = ref.compute_score(option="closest")
+
+    score, scores = Bleu(4).compute_score(gts, res)
+    np.testing.assert_allclose(score, ref_score, rtol=1e-12)
+    for k in range(4):
+        np.testing.assert_allclose(scores[k], ref_scores[k], rtol=1e-12)
+
+
+@needs_ref
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_cider_matches_reference(seed):
+    gts, res = _rand_corpus(seed)
+    RefCiderScorer = reference_scorers.load_cider()
+    ref = RefCiderScorer(n=4, sigma=6.0)
+    for iid in gts:
+        ref += (res[iid][0], gts[iid])
+    ref_score, ref_scores = ref.compute_score()
+
+    score, scores = Cider().compute_score(gts, res)
+    np.testing.assert_allclose(score, ref_score, rtol=1e-10)
+    np.testing.assert_allclose(scores, ref_scores, rtol=1e-10)
+
+
+@needs_ref
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_rouge_matches_reference(seed):
+    gts, res = _rand_corpus(seed)
+    RefRouge = reference_scorers.load_rouge()
+    ref_score, ref_scores = RefRouge().compute_score(gts, res)
+    score, scores = Rouge().compute_score(gts, res)
+    np.testing.assert_allclose(score, ref_score, rtol=1e-12)
+    np.testing.assert_allclose(scores, ref_scores, rtol=1e-12)
+
+
+# ---------------- golden/sanity values ----------------
+
+def test_bleu_identity_is_one():
+    gts = {"a": ["the cat sat on the mat"]}
+    res = {"a": ["the cat sat on the mat"]}
+    score, _ = Bleu(4).compute_score(gts, res)
+    for s in score:
+        assert abs(s - 1.0) < 1e-6
+
+
+def test_rouge_hand_value():
+    # candidate: "a b c d", ref: "a c d e" -> LCS=3, P=3/4, R=3/4
+    gts = {"x": ["a c d e"]}
+    res = {"x": ["a b c d"]}
+    score, _ = Rouge().compute_score(gts, res)
+    p = r = 0.75
+    expected = (1 + 1.2 ** 2) * p * r / (r + 1.2 ** 2 * p)
+    assert abs(score - expected) < 1e-9
+
+
+def test_cider_identity_positive_disjoint_zero():
+    gts = {"a": ["a man is playing guitar", "a man plays music"],
+           "b": ["the dog runs fast", "a dog is running"]}
+    res_same = {"a": ["a man is playing guitar"], "b": ["the dog runs fast"]}
+    res_disj = {"a": ["purple elephants fly"], "b": ["green turtles swim"]}
+    s_same, _ = Cider().compute_score(gts, res_same)
+    s_disj, _ = Cider().compute_score(gts, res_disj)
+    assert s_same > s_disj
+    assert s_disj == 0.0
+
+
+def test_meteor_identity_high_disjoint_zero():
+    m = Meteor()
+    gts = {"a": ["the cat sat on the mat"]}
+    s_id, _ = m.compute_score(gts, {"a": ["the cat sat on the mat"]})
+    s_dj, _ = m.compute_score(gts, {"a": ["purple elephants fly away"]})
+    assert s_id > 0.95
+    assert s_dj == 0.0
+
+
+def test_meteor_stem_match_scores_between():
+    m = Meteor()
+    gts = {"a": ["the cat is playing"]}
+    s_exact, _ = m.compute_score(gts, {"a": ["the cat is playing"]})
+    s_stem, _ = m.compute_score(gts, {"a": ["the cat is played"]})
+    s_none, _ = m.compute_score(gts, {"a": ["a dog was sleeping"]})
+    assert s_exact > s_stem > s_none
+
+
+def test_meteor_best_ref_selected():
+    m = Meteor()
+    gts = {"a": ["completely unrelated words here", "the cat sat down"]}
+    s, _ = m.compute_score(gts, {"a": ["the cat sat down"]})
+    assert s > 0.95
+
+
+def test_porter_stemmer_known_values():
+    cases = {
+        "caresses": "caress", "ponies": "poni", "ties": "ti",
+        "caress": "caress", "cats": "cat", "feed": "feed",
+        "agreed": "agre", "plastered": "plaster", "bled": "bled",
+        "motoring": "motor", "sing": "sing", "conflated": "conflat",
+        "troubled": "troubl", "sized": "size", "hopping": "hop",
+        "falling": "fall", "hissing": "hiss", "fizzed": "fizz",
+        "failing": "fail", "filing": "file", "happy": "happi",
+        "sky": "sky", "relational": "relat", "rational": "ration",
+    }
+    for word, stem in cases.items():
+        assert porter_stem(word) == stem, (word, porter_stem(word), stem)
+
+
+def test_ptb_tokenizer_basics():
+    assert ptb_tokenize_line("A man, quickly, runs.") == \
+        ["a", "man", ",", "quickly", ",", "runs", "."]
+    assert ptb_tokenize_line("don't stop") == ["do", "n't", "stop"]
+    assert ptb_tokenize_line("the dog's ball") == ["the", "dog", "'s", "ball"]
+    toks = ptb_tokenize_line('he said "hello" (loudly)')
+    assert toks == ["he", "said", "``", "hello", "''",
+                    "-LRB-", "loudly", "-RRB-"]
+
+
+def test_ptb_tokenizer_wrapper_strips_punct():
+    tok = PTBTokenizer()
+    out = tok.tokenize({"v1": [{"caption": "A man, running fast!"}]})
+    assert out == {"v1": ["a man running fast"]}
+
+
+def test_caption_scorer_end_to_end():
+    pairs = [("v1", "a man is playing guitar"),
+             ("v1", "someone plays the guitar"),
+             ("v2", "a dog runs in the park")]
+    gts = gts_from_pairs(pairs)
+    res = res_from_dict({"v1": ["a man is playing guitar"],
+                         "v2": ["a cat sleeps"]})
+    scorer = CaptionScorer(gts, res)
+    scores = scorer.evaluate()
+    for key in ("Bleu_1", "Bleu_2", "Bleu_3", "Bleu_4",
+                "METEOR", "ROUGE_L", "CIDEr"):
+        assert key in scores
+    assert scores["Bleu_4"] > 0.3          # v1 is exact
+    assert scorer.imgToEval["v1"]["ROUGE_L"] == 1.0
