@@ -1,0 +1,50 @@
+"""CLI: python -m recnet_tpu.cli.eval --ckpt <dir>/<step> [--beam 5]
+
+Mirrors reference eval.py:172-208: load checkpoint, rebuild the decoder,
+decode the test split with beam search, print scores. Unlike the reference,
+the vocab comes from the checkpoint itself (no corpus re-scan needed).
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import jax
+
+from recnet_tpu import checkpoint as ckpt
+from recnet_tpu.data import Corpus
+from recnet_tpu.evaluation import evaluate
+from recnet_tpu.training.step import init_train_state
+
+
+def main(argv=None):
+    a = argparse.ArgumentParser()
+    a.add_argument("--ckpt", type=str, required=True,
+                   help="checkpoint step directory")
+    a.add_argument("--beam", type=int, default=5)
+    a.add_argument("--greedy", action="store_true")
+    a.add_argument("--data_root", type=str, default=None,
+                   help="override the data root stored in the checkpoint")
+    args = a.parse_args(argv)
+
+    tc, vocab = ckpt.load_config_and_vocab(args.ckpt)
+    if args.data_root:
+        tc = tc.replace(data_root=args.data_root)
+    # only the score loader + test GTs are needed (reference eval.py:178-181)
+    tc = tc.replace(build_train_data_loader=False,
+                    build_val_data_loader=False,
+                    build_test_data_loader=True,
+                    build_score_data_loader=True)
+
+    state, dcfg, rcfg = init_train_state(
+        jax.random.PRNGKey(0), tc, vocab.n_vocabs)
+    state, meta = ckpt.load_checkpoint(args.ckpt, state)
+    corpus = Corpus(tc, vocab=vocab)
+
+    search = "greedy" if args.greedy else ("beam", args.beam)
+    scores = evaluate(tc, corpus, state.dec_params, dcfg, search)
+    print(scores)
+
+
+if __name__ == "__main__":
+    main()

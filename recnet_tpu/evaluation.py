@@ -1,0 +1,71 @@
+"""Test-set decoding + scoring — the reference's evaluate() (eval.py:123-169).
+
+Decodes the score batcher with greedy or beam search (both jitted fixed-shape
+programs from recnet_tpu.decoding), truncates to the first n_test videos,
+writes predictions.txt, and scores with the JVM-free CaptionScorer.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+from typing import Dict, Optional
+
+import numpy as np
+
+from recnet_tpu.decoding import beam_decode, greedy_decode, tokens_to_sentences
+from recnet_tpu.metrics import CaptionScorer, gts_from_pairs, res_from_dict
+
+
+def decode_batch(decoder_params, dcfg, videos, search_method, max_len: int):
+    """Returns (n_steps, B) int token array, truncated like the reference."""
+    import jax.numpy as jnp
+
+    videos = jnp.asarray(videos)
+    if isinstance(search_method, str) and search_method == "greedy":
+        res = greedy_decode(decoder_params, dcfg, videos, max_len)
+        n = int(res.n_steps)
+        return np.asarray(res.tokens)[:n]                     # (n, B)
+    elif isinstance(search_method, (tuple, list)) and search_method[0] == "beam":
+        beam_width = int(search_method[1])
+        res = beam_decode(decoder_params, dcfg, videos, beam_width, max_len)
+        n = int(res.n_steps)
+        # reference transposes the (B, n) beam output to (n, B) (eval.py:148-149)
+        return np.asarray(res.tokens)[:, :n].T
+    raise NotImplementedError(f"Unknown search method: {search_method}")
+
+
+def evaluate(tc, corpus, decoder_params, dcfg, search_method,
+             predictions_fpath: Optional[str] = "predictions.txt",
+             n_test: Optional[int] = None) -> Dict[str, float]:
+    """Full score-set decode + metric pass (reference: eval.py:123-169)."""
+    n_test = n_test if n_test is not None else tc.n_test
+    eos = corpus.vocab.word2idx["<EOS>"]
+
+    total_vids = []
+    total_pd = []
+    for vids, videos in corpus.score_batcher:
+        tokens = decode_batch(decoder_params, dcfg, videos, search_method,
+                              tc.caption_max_len)
+        total_vids += list(vids)
+        total_pd += tokens_to_sentences(tokens, corpus.vocab.idx2word, eos)
+
+    total_vids = total_vids[:n_test]
+    total_pd = total_pd[:n_test]
+
+    if predictions_fpath:
+        with open(predictions_fpath, "w") as fout:
+            for vid, caption in zip(total_vids, total_pd):
+                fout.write("{}\t\t{}\n".format(vid, caption))
+
+    pd_dict = defaultdict(list)
+    for vid, caption in zip(total_vids, total_pd):
+        if vid != "PAD":
+            pd_dict[vid].append(caption)
+
+    gts = gts_from_pairs(
+        [(vid, cap) for vid, cap in corpus.test_dataset.video_caption_pairs])
+    res = res_from_dict(pd_dict)
+    # score only vids present in both (batch padding adds none)
+    ids = [i for i in gts.keys() if i in res]
+    scorer = CaptionScorer(gts, res, image_ids=ids)
+    return scorer.evaluate()

@@ -1,0 +1,185 @@
+"""Training runtime — the reference's train.py main() (train.py:200-427)
+rebuilt around one jitted step, a prefetching batcher, and a device mesh.
+
+Cadence and semantics preserved: log every ``log_every`` iterations with the
+loss averaged over log_every·batch_size samples (train.py:281-306), full val
+pass with GT-vs-PD caption text every ``validate_every`` (train.py:310-372),
+test-set decode+score for every search method every ``test_every``
+(train.py:376-394), checkpoint every ``save_every`` (train.py:397-420).
+New capability: resume from checkpoint (--resume), which the reference lacks.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from recnet_tpu.config import TrainConfig
+from recnet_tpu.data import Corpus, cycle, prefetch_to_device
+from recnet_tpu.decoding import tokens_to_sentences
+from recnet_tpu.evaluation import evaluate
+from recnet_tpu.training.step import (
+    init_train_state, build_train_step, build_val_step)
+from recnet_tpu.utils.logging import MetricWriter
+from recnet_tpu import checkpoint as ckpt
+from recnet_tpu.parallel import mesh as mesh_lib
+
+
+def train(tc: TrainConfig, debug: bool = False, loss_only: bool = False,
+          resume_from: Optional[str] = None, use_mesh: bool = False,
+          log_dir: Optional[str] = None, save_dir: Optional[str] = None):
+    """Run the full training loop. Returns the final TrainState."""
+    print(f"MODEL ID: {tc.id}")
+    print(f"DEBUG MODE: {'ON' if debug else 'OFF'}")
+
+    log_dir = log_dir or tc.log_dpath
+    save_dir = save_dir or tc.save_dpath
+    writer = None if debug else MetricWriter(log_dir)
+
+    corpus = Corpus(tc)
+    vocab = corpus.vocab
+    print("#vocabs: {} ({}), #words: {} ({}). Trim words which appear less "
+          "than {} times.".format(vocab.n_vocabs, vocab.n_vocabs_untrimmed,
+                                  vocab.n_words, vocab.n_words_untrimmed,
+                                  tc.min_count))
+
+    state, dcfg, rcfg = init_train_state(
+        jax.random.PRNGKey(tc.seed), tc, vocab.n_vocabs)
+    if resume_from:
+        state, meta = ckpt.load_checkpoint(resume_from, state)
+        print(f"Resumed from {resume_from} at step {meta['step']}")
+
+    mesh = None
+    video_sharding = caption_sharding = None
+    if use_mesh:
+        mesh = mesh_lib.make_mesh(tc.mesh_shape)
+        state = mesh_lib.shard_state(state, mesh)
+        video_sharding = mesh_lib.batch_sharding(mesh, 0)
+        caption_sharding = mesh_lib.batch_sharding(mesh, 1)
+
+    train_step = build_train_step(tc, dcfg, rcfg)
+    val_step = build_val_step(tc, dcfg, rcfg)
+    rng = jax.random.PRNGKey(tc.seed + 1)
+
+    def device_batches():
+        it = cycle(corpus.train_batcher)
+        stripped = ((videos, captions) for _, videos, captions in it)
+        yield from prefetch_to_device(stripped, tc.prefetch_depth,
+                                      sharding=None)
+
+    train_loss = train_dec = train_rec = 0.0
+    t_start = time.time()
+    tokens_done = 0
+    start_iter = int(state.step)
+
+    for iteration, (videos, captions) in enumerate(
+            device_batches(), start_iter + 1):
+        if use_mesh:
+            videos = jax.device_put(videos, video_sharding)
+            captions = jax.device_put(captions, caption_sharding)
+        state, metrics = train_step(state, videos, captions, rng)
+
+        train_loss += float(metrics["loss"])
+        train_dec += float(metrics["dec_loss"])
+        train_rec += float(metrics["rec_loss"])
+
+        if debug or iteration % tc.log_every == 0:
+            n = tc.log_every * tc.batch_size
+            train_loss /= n
+            train_dec /= n
+            train_rec /= n
+            dt = time.time() - t_start
+            steps_sec = (tc.log_every if not debug else 1) / max(dt, 1e-9)
+            if writer:
+                writer.scalar(tc.tx_train_loss, train_loss, iteration)
+                writer.scalar(tc.tx_lambda_decoder, tc.decoder_lambda_reg,
+                              iteration)
+                writer.scalar("perf/steps_per_sec", steps_sec, iteration)
+                if tc.use_recon:
+                    writer.scalar(tc.tx_train_loss_decoder, train_dec, iteration)
+                    writer.scalar(tc.tx_train_loss_reconstructor, train_rec,
+                                  iteration)
+                    writer.scalar(tc.tx_lambda_reconstructor,
+                                  tc.reconstructor_lambda_reg, iteration)
+                    writer.scalar(tc.tx_lambda, tc.lambda_recon, iteration)
+            msg = "Iter {} / {} ({:.1f}%): loss {:.5f}".format(
+                iteration, tc.n_iterations,
+                iteration / tc.n_iterations * 100, train_loss)
+            if tc.use_recon:
+                msg += " (dec {:.5f} + rec {:.5f})".format(train_dec, train_rec)
+            msg += " [{:.1f} it/s]".format(steps_sec)
+            print(msg)
+            train_loss = train_dec = train_rec = 0.0
+            t_start = time.time()
+
+        if debug or iteration % tc.validate_every == 0:
+            _validate(tc, corpus, state, val_step, writer, iteration)
+
+        if not loss_only and (debug or iteration % tc.test_every == 0):
+            _test(tc, corpus, state, dcfg, writer, iteration)
+
+        if iteration % tc.save_every == 0:
+            path = ckpt.save_checkpoint(save_dir, iteration, state, tc, vocab)
+            print(f"Saved checkpoint: {path}")
+
+        if iteration >= tc.n_iterations:
+            break
+
+    if writer:
+        writer.close()
+    return state
+
+
+def _validate(tc, corpus, state, val_step, writer, iteration):
+    val_loss = val_dec = val_rec = 0.0
+    gt_captions, pd_captions = [], []
+    n_batches = 0
+    eos = corpus.vocab.word2idx["<EOS>"]
+    for _, videos, captions in corpus.val_batcher:
+        m = val_step(state.dec_params, state.rec_params,
+                     jnp.asarray(videos), jnp.asarray(captions))
+        val_loss += float(m["loss"]) * tc.batch_size
+        val_dec += float(m["dec_loss"]) * tc.batch_size
+        val_rec += float(m["rec_loss"]) * tc.batch_size
+        n_batches += 1
+        gt_captions += tokens_to_sentences(captions, corpus.vocab.idx2word, eos)
+        pd_captions += tokens_to_sentences(
+            np.asarray(m["greedy_tokens"]), corpus.vocab.idx2word, eos)
+    n_vals = max(n_batches * tc.batch_size, 1)
+    val_loss /= n_vals
+    val_dec /= n_vals
+    val_rec /= n_vals
+    msg = "[Validation] Iter {} / {} ({:.1f}%): loss {:.5f}".format(
+        iteration, tc.n_iterations, iteration / tc.n_iterations * 100, val_loss)
+    if tc.use_recon:
+        msg += " (dec {:.5f} + rec {:5f})".format(val_dec, val_rec)
+    print(msg)
+    if writer:
+        writer.scalar(tc.tx_val_loss, val_loss, iteration)
+        if tc.use_recon:
+            writer.scalar(tc.tx_val_loss_decoder, val_dec, iteration)
+            writer.scalar(tc.tx_val_loss_reconstructor, val_rec, iteration)
+        caption_log = "\n\n".join(
+            "[GT] {}  \n[PD] {}".format(gt, pd)
+            for gt, pd in zip(gt_captions, pd_captions))
+        writer.text(tc.tx_predicted_captions, caption_log, iteration)
+
+
+def _test(tc, corpus, state, dcfg, writer, iteration):
+    print("[Test] Iter {} / {} ({:.1f}%)".format(
+        iteration, tc.n_iterations, iteration / tc.n_iterations * 100))
+    for search_method in tc.search_methods:
+        sm_id = tc.search_method_id(search_method)
+        scores = evaluate(tc, corpus, state.dec_params, dcfg, search_method)
+        summary = " ".join("{}: {:.3f}".format(s, scores[s])
+                           for s in tc.scores if s in scores)
+        print("\t{}: {}".format(sm_id, summary))
+        if writer:
+            for s in tc.scores:
+                if s in scores:
+                    writer.scalar(tc.tx_score(sm_id, s), scores[s], iteration)

@@ -1,0 +1,116 @@
+"""End-to-end: fixture corpus → train loop → evaluate → checkpoint → resume."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from recnet_tpu import checkpoint as ckpt
+from recnet_tpu.data import Corpus
+from recnet_tpu.evaluation import evaluate
+from recnet_tpu.training.loop import train
+from recnet_tpu.training.step import init_train_state, build_train_step
+
+from fixtures import make_msvd_fixture, tiny_train_config
+
+
+@pytest.fixture(scope="module")
+def fixture_root(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("msvd_e2e"))
+    make_msvd_fixture(root)
+    return root
+
+
+def test_full_train_loop_with_eval_and_checkpoint(fixture_root, tmp_path):
+    tc = tiny_train_config(
+        fixture_root, n_iterations=6, log_every=3, validate_every=6,
+        test_every=6, save_every=6,
+        search_methods=("greedy", ("beam", 2)),
+        decoder_learning_rate=1e-3)
+    save_dir = str(tmp_path / "ckpts")
+    log_dir = str(tmp_path / "logs")
+
+    cwd = os.getcwd()
+    os.chdir(str(tmp_path))  # predictions.txt lands here
+    try:
+        state = train(tc, debug=False, loss_only=False,
+                      save_dir=save_dir, log_dir=log_dir)
+    finally:
+        os.chdir(cwd)
+
+    assert int(state.step) == 6
+    # checkpoint written
+    step = ckpt.latest_step(save_dir)
+    assert step == 6
+    # metrics jsonl written
+    assert os.path.exists(os.path.join(log_dir, "metrics.jsonl"))
+    # predictions written by the test pass
+    assert os.path.exists(str(tmp_path / "predictions.txt"))
+
+
+def test_checkpoint_roundtrip_and_resume(fixture_root, tmp_path):
+    tc = tiny_train_config(fixture_root, n_iterations=3)
+    corpus = Corpus(tc)
+    state, dcfg, rcfg = init_train_state(
+        jax.random.PRNGKey(0), tc, corpus.vocab.n_vocabs)
+    step_fn = build_train_step(tc, dcfg, rcfg)
+
+    _, videos, captions = next(iter(corpus.train_batcher))
+    rng = jax.random.PRNGKey(9)
+    for _ in range(2):
+        state, _ = step_fn(state, jnp.asarray(videos), jnp.asarray(captions),
+                           rng)
+
+    d = ckpt.save_checkpoint(str(tmp_path / "ck"), int(state.step), state,
+                             tc, corpus.vocab)
+    # fresh state, then restore
+    state2, _, _ = init_train_state(
+        jax.random.PRNGKey(1), tc, corpus.vocab.n_vocabs)
+    restored, meta = ckpt.load_checkpoint(d, state2)
+    assert meta["step"] == 2
+
+    for a, b in zip(jax.tree_util.tree_leaves(state),
+                    jax.tree_util.tree_leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # config + vocab round-trip
+    tc2, vocab2 = ckpt.load_config_and_vocab(d)
+    assert tc2.to_dict() == tc.to_dict()
+    assert vocab2.word2idx == corpus.vocab.word2idx
+
+    # one more step from restored state must be identical to continuing
+    cont, m1 = step_fn(state, jnp.asarray(videos), jnp.asarray(captions), rng)
+    resumed, m2 = step_fn(restored, jnp.asarray(videos),
+                          jnp.asarray(captions), rng)
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-6)
+
+
+def test_structure_mismatch_rejected(fixture_root, tmp_path):
+    tc = tiny_train_config(fixture_root)
+    corpus = Corpus(tc)
+    state, _, _ = init_train_state(jax.random.PRNGKey(0), tc,
+                                   corpus.vocab.n_vocabs)
+    d = ckpt.save_checkpoint(str(tmp_path / "ck2"), 0, state, tc, corpus.vocab)
+
+    tc_other = tiny_train_config(fixture_root, use_recon=False)
+    other, _, _ = init_train_state(jax.random.PRNGKey(0), tc_other,
+                                   corpus.vocab.n_vocabs)
+    with pytest.raises(ValueError):
+        ckpt.load_checkpoint(d, other)
+
+
+def test_evaluate_greedy_and_beam(fixture_root, tmp_path):
+    tc = tiny_train_config(fixture_root)
+    corpus = Corpus(tc)
+    state, dcfg, _ = init_train_state(jax.random.PRNGKey(0), tc,
+                                      corpus.vocab.n_vocabs)
+    for sm in ("greedy", ("beam", 2)):
+        scores = evaluate(tc, corpus, state.dec_params, dcfg, sm,
+                          predictions_fpath=str(tmp_path / "pred.txt"),
+                          n_test=2)
+        assert set(tc.scores) <= set(scores.keys())
+        for v in scores.values():
+            assert np.isfinite(v)
