@@ -1,0 +1,77 @@
+"""Pallas fused attention+GRU step: parity vs the plain-XLA restatement
+(interpret mode on CPU) and vs decoder_step."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from recnet_tpu.models import decoder as dec_mod
+from recnet_tpu.ops import attention as attn_ops
+from recnet_tpu.ops.pallas.fused_step import (
+    fused_gru_attn_step, gru_attn_step_reference, pack_gru_bias)
+
+B, L, F, E, H, A, V = 16, 7, 24, 12, 16, 8, 40
+
+
+def _inputs(seed=0, dtype=jnp.float32):
+    rng = np.random.default_rng(seed)
+    mk = lambda *s: jnp.asarray(rng.standard_normal(s).astype(np.float32) * 0.3,
+                                dtype=dtype)
+    emb = mk(B, E)
+    h = mk(B, H)
+    enc = mk(B, L, F)
+    attn_w = mk(H, A)
+    attn_v = mk(A, 1)
+    attn_b = jnp.ones((1, A), dtype)
+    w_ih = mk(E + F, 3 * H)
+    w_hh = mk(H, 3 * H)
+    b_ih = mk(3 * H)
+    b_hh = mk(3 * H)
+    uv = mk(B, L, A)
+    return emb, h, enc, uv, attn_w, attn_v, attn_b, w_ih, w_hh, b_ih, b_hh
+
+
+def test_fused_step_matches_reference_interpret():
+    (emb, h, enc, uv, attn_w, attn_v, attn_b,
+     w_ih, w_hh, b_ih, b_hh) = _inputs()
+    expected = gru_attn_step_reference(
+        emb, h, enc, uv, attn_w, attn_v, attn_b, w_ih, w_hh, b_ih, b_hh, E)
+    got = fused_gru_attn_step(
+        emb, h, enc, uv, attn_w, attn_v, attn_b, w_ih, w_hh,
+        pack_gru_bias(b_ih, b_hh), emb_size=E, block_b=8, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                               rtol=2e-5, atol=2e-6)
+
+
+def test_fused_step_matches_decoder_step_interpret():
+    """Same math as models.decoder.decoder_step (eval mode, GRU)."""
+    cfg = dec_mod.DecoderConfig(
+        cell_type="GRU", n_layers=1, vocab_size=V, embedding_size=E,
+        embedding_scale=1.0, encoder_size=F, hidden_size=H, attn_size=A,
+        embedding_dropout=0.0, dropout=0.0, out_dropout=0.0)
+    params = dec_mod.init_decoder_params(jax.random.PRNGKey(3), cfg)
+    rng = np.random.default_rng(1)
+    enc = jnp.asarray(rng.standard_normal((B, L, F)).astype(np.float32))
+    token = jnp.asarray(rng.integers(0, V, B).astype(np.int32))
+    state = dec_mod.zero_state(cfg, B)
+    uv = attn_ops.precompute_uv(params["attention"], enc)
+
+    logits, (h_new, _) = dec_mod.decoder_step(
+        params, cfg, token, state, enc, uv)
+
+    emb = params["embedding"][token] * cfg.embedding_scale
+    r = params["rnn"][0]
+    a = params["attention"]
+    h_fused = fused_gru_attn_step(
+        emb, state[0][0], enc, uv, a["W"], a["w"], a["b"][None, :],
+        r["w_ih"], r["w_hh"], pack_gru_bias(r["b_ih"], r["b_hh"]),
+        emb_size=E, block_b=8, interpret=True)
+
+    np.testing.assert_allclose(np.asarray(h_fused), np.asarray(h_new[0]),
+                               rtol=2e-5, atol=2e-6)
+    # and the logits computed from the fused h match
+    logits_fused = h_fused @ params["out_w"] + params["out_b"]
+    np.testing.assert_allclose(np.asarray(logits_fused), np.asarray(logits),
+                               rtol=2e-4, atol=2e-5)
