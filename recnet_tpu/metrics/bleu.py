@@ -33,6 +33,23 @@ def _cook_refs(refs: List[str], n: int = 4):
     return reflen, maxcounts
 
 
+def _image_stats(hyp: str, refs, n: int = 4):
+    """Per-image sufficient statistics; C++ fast path when built."""
+    from recnet_tpu.native import fastmetrics, HAVE_FASTMETRICS
+
+    if HAVE_FASTMETRICS:
+        table = {}
+        intern = lambda ws: [table.setdefault(w, len(table)) for w in ws]
+        hyp_ids = intern(hyp.split())
+        ref_ids = [intern(r.split()) for r in refs]
+        testlen, reflen, guess, correct = fastmetrics.bleu_stats(
+            hyp_ids, ref_ids, n)
+        return {"testlen": testlen, "reflen": reflen,
+                "guess": guess, "correct": correct}
+    reflen, maxcounts = _cook_refs(refs, n)
+    return _cook_test(hyp, reflen, maxcounts, n)
+
+
 def _cook_test(test: str, reflen, refmaxcounts, n: int = 4):
     words = test.split()
     testlen = len(words)
@@ -62,8 +79,7 @@ class Bleu:
         comps_list = []
         for iid in gts:
             assert len(res[iid]) == 1
-            reflen, maxcounts = _cook_refs(gts[iid], n)
-            comps_list.append(_cook_test(res[iid][0], reflen, maxcounts, n))
+            comps_list.append(_image_stats(res[iid][0], gts[iid], n))
 
         bleu_list: List[List[float]] = [[] for _ in range(n)]
         total_testlen = 0

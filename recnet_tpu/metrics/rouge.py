@@ -10,8 +10,25 @@ from typing import Dict, List
 
 import numpy as np
 
+from recnet_tpu.native import fastmetrics, HAVE_FASTMETRICS
+
+
+def _intern(*seqs):
+    table: Dict[str, int] = {}
+    out = []
+    for seq in seqs:
+        out.append([table.setdefault(w, len(table)) for w in seq])
+    return out
+
 
 def lcs_length(a: List[str], b: List[str]) -> int:
+    if HAVE_FASTMETRICS:
+        ia, ib = _intern(a, b)
+        return int(fastmetrics.lcs(ia, ib))
+    return _lcs_length_py(a, b)
+
+
+def _lcs_length_py(a: List[str], b: List[str]) -> int:
     if len(a) < len(b):
         a, b = b, a
     prev = [0] * (len(b) + 1)

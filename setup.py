@@ -1,0 +1,22 @@
+"""Build: python setup.py build_ext --inplace   (or `make native`).
+
+Builds the optional C++ metric-hot-path extension
+recnet_tpu/native/_fastmetrics; everything else is pure Python + JAX.
+"""
+
+from setuptools import Extension, setup, find_packages
+
+setup(
+    name="recnet_tpu",
+    version="0.1.0",
+    description="TPU-native RecNet video-captioning framework (JAX/Pallas)",
+    packages=find_packages(include=["recnet_tpu", "recnet_tpu.*"]),
+    ext_modules=[
+        Extension(
+            "recnet_tpu.native._fastmetrics",
+            sources=["recnet_tpu/native/fastmetrics.cpp"],
+            extra_compile_args=["-O3", "-std=c++17"],
+        ),
+    ],
+    python_requires=">=3.10",
+)
