@@ -171,6 +171,55 @@ def teacher_forced_rollout(params: Dict, cfg: DecoderConfig,
     return DecoderRollout(logits, hiddens, greedy_tokens)
 
 
+def teacher_forced_rollout_fast(params: Dict, cfg: DecoderConfig,
+                                encoder_outputs: jax.Array,
+                                targets: jax.Array,
+                                rng: Optional[jax.Array] = None,
+                                train: bool = False) -> DecoderRollout:
+    """Specialized rollout for teacher-forcing ratio 1.0 (the reference
+    default, config.py:71): every step's input token is known upfront, so
+
+    * the embedding gather happens ONCE for all T steps, and
+    * the vocab projection (the largest matmul) moves OUT of the scan into
+      one (T·B, H) x (H, V) MXU-friendly matmul.
+
+    The scan body shrinks to attention + RNN cell. Produces logits/hiddens
+    identical to teacher_forced_rollout(use_teacher_forcing=True) in eval
+    mode (verified in tests); dropout masks differ in draw order but match
+    in distribution.
+    """
+    T, B = targets.shape
+    uv = attn_ops.precompute_uv(params["attention"], encoder_outputs)
+    inputs = jnp.concatenate(
+        [jnp.full((1, B), cfg.sos_token, targets.dtype), targets[:-1]], axis=0)
+
+    if rng is not None:
+        r_emb, r_rnn, r_out = jax.random.split(rng, 3)
+    else:
+        r_emb = r_rnn = r_out = None
+
+    emb_all = params["embedding"][inputs] * cfg.embedding_scale   # (T, B, E)
+    emb_all = _dropout(emb_all, cfg.embedding_dropout, r_emb, train)
+
+    def step(state, xs):
+        t, emb_t = xs
+        query = state[0][-1]
+        context = attn_ops.attend_mean(
+            params["attention"], query, encoder_outputs, uv)
+        x = jnp.concatenate([emb_t, context], axis=-1)
+        rr = None if r_rnn is None else jax.random.fold_in(r_rnn, t)
+        _, new_state = _multilayer_rnn(cfg, params["rnn"], x, state, rr, train)
+        return new_state, new_state[0]
+
+    init = zero_state(cfg, B, encoder_outputs.dtype)
+    _, hiddens = jax.lax.scan(step, init, (jnp.arange(T), emb_all))
+
+    logits = hiddens[:, -1] @ params["out_w"] + params["out_b"]  # (T, B, V)
+    logits = _dropout(logits, cfg.out_dropout, r_out, train)
+    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    return DecoderRollout(logits, hiddens, greedy)
+
+
 def config_from_train(tc, vocab_size: int) -> DecoderConfig:
     """Build a DecoderConfig from a recnet_tpu TrainConfig."""
     return DecoderConfig(

@@ -64,16 +64,23 @@ def init_train_state(key: jax.Array, tc: TrainConfig, vocab_size: int
 
 def _forward(dec_params, rec_params, dcfg, rcfg, tc_pad, lambda_recon,
              dec_lambda_reg, rec_lambda_reg, videos, captions,
-             use_tf, rng, train):
-    """Joint forward; returns (total, aux)."""
+             use_tf, rng, train, always_tf: bool = False):
+    """Joint forward; returns (total, aux).
+
+    always_tf=True takes the specialized rollout with the vocab projection
+    hoisted out of the scan (valid when teacher forcing is statically on)."""
     mask = (captions > tc_pad)                                    # (T, B)
     if rng is not None:
         rng_d, rng_r = jax.random.split(rng)
     else:
         rng_d = rng_r = None
 
-    rollout = dec_mod.teacher_forced_rollout(
-        dec_params, dcfg, videos, captions, use_tf, rng_d, train)
+    if always_tf:
+        rollout = dec_mod.teacher_forced_rollout_fast(
+            dec_params, dcfg, videos, captions, rng_d, train)
+    else:
+        rollout = dec_mod.teacher_forced_rollout(
+            dec_params, dcfg, videos, captions, use_tf, rng_d, train)
     ce, n_tok = step_mean_ce(rollout.logits, captions, mask)
     dec_loss = ce + dec_lambda_reg * l2_norm_sum(dec_params)
 
@@ -106,6 +113,11 @@ def build_train_step(tc: TrainConfig, dcfg: dec_mod.DecoderConfig,
         else None
     pad = tc.init_word2idx_dict["<PAD>"]
 
+    # Static specialization: ratio >= 1.0 means the per-iteration Bernoulli
+    # (train.py:37-38, random.random() <= ratio) is always True, so the
+    # fast TF rollout applies unconditionally.
+    always_tf = tc.decoder_teacher_forcing_ratio >= 1.0
+
     def step_fn(state: TrainState, videos, captions, rng):
         rng_tf, rng_fwd = jax.random.split(jax.random.fold_in(rng, state.step))
         # One Bernoulli per iteration for the whole batch (train.py:37-38).
@@ -116,7 +128,7 @@ def build_train_step(tc: TrainConfig, dcfg: dec_mod.DecoderConfig,
             return _forward(dec_params, rec_params, dcfg, rcfg, pad,
                             tc.lambda_recon, tc.decoder_lambda_reg,
                             tc.reconstructor_lambda_reg, videos, captions,
-                            use_tf, rng_fwd, train=True)
+                            use_tf, rng_fwd, train=True, always_tf=always_tf)
 
         if tc.use_recon:
             (total, aux), (dec_g, rec_g) = jax.value_and_grad(
