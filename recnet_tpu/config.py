@@ -164,13 +164,16 @@ class TrainConfig:
 
     @property
     def total_caption_fpath(self) -> str:
+        if self.corpus == "MSR-VTT":
+            return f"{self.data_root}/{self.corpus}/metadata/videodatainfo.json"
         return f"{self.data_root}/{self.corpus}/metadata/MSR Video Description Corpus.csv"
 
     def video_fpath(self, split: str) -> str:
         return f"{self.data_root}/{self.corpus}/features/{self.encoder_model}_{split}.hdf5"
 
     def caption_fpath(self, split: str) -> str:
-        return f"{self.data_root}/{self.corpus}/metadata/{split}.csv"
+        ext = "json" if self.corpus == "MSR-VTT" else "csv"
+        return f"{self.data_root}/{self.corpus}/metadata/{split}.{ext}"
 
     @property
     def corpus_id(self) -> str:

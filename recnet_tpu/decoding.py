@@ -63,6 +63,52 @@ def greedy_decode(params: Dict, cfg: dec_mod.DecoderConfig,
     return GreedyResult(tokens, n_steps)
 
 
+@partial(jax.jit, static_argnames=("cfg", "max_len", "block_b", "interpret"))
+def greedy_decode_pallas(params: Dict, cfg: dec_mod.DecoderConfig,
+                         encoder_outputs: jax.Array, max_len: int,
+                         block_b: int = 256,
+                         interpret: bool = False) -> GreedyResult:
+    """Greedy decode with the fused Pallas attention+GRU step kernel
+    (recnet_tpu.ops.pallas.fused_step) doing the recurrent hot path; the
+    vocab projection + argmax stay in XLA. GRU, 1 layer only (the flagship
+    config, reference config.py:31,66). Matches greedy_decode exactly in
+    f32 (tested); bf16 serving differs only by rounding."""
+    assert cfg.cell_type == "GRU" and cfg.n_layers == 1, \
+        "pallas fused step supports the GRU/1-layer flagship config"
+    from recnet_tpu.ops.pallas.fused_step import (
+        fused_gru_attn_step, pack_gru_bias)
+
+    B = encoder_outputs.shape[0]
+    T = max_len + 1
+    a = params["attention"]
+    r = params["rnn"][0]
+    uv = attn_ops.precompute_uv(a, encoder_outputs)
+    bias3 = pack_gru_bias(r["b_ih"], r["b_hh"])
+    attn_b2 = a["b"][None, :]
+    init_token = jnp.full((B,), cfg.sos_token, jnp.int32)
+    E = cfg.embedding_size
+
+    def step(carry, t):
+        h, token, done, n_steps = carry
+        emb = params["embedding"][token] * cfg.embedding_scale
+        h_new = fused_gru_attn_step(
+            emb, h, encoder_outputs, uv, a["W"], a["w"], attn_b2,
+            r["w_ih"], r["w_hh"], bias3, emb_size=E, block_b=block_b,
+            interpret=interpret)
+        logits = h_new @ params["out_w"] + params["out_b"]
+        out = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        out = jnp.where(done, jnp.int32(cfg.pad_token), out)
+        new_done = done | jnp.all(out == cfg.pad_token)
+        n_steps = jnp.where(done, n_steps, t + 1)
+        h_new = jnp.where(done, h, h_new)
+        return (h_new, out, new_done, n_steps), out
+
+    init = (jnp.zeros((B, cfg.hidden_size), encoder_outputs.dtype),
+            init_token, jnp.asarray(False), jnp.zeros([], jnp.int32))
+    (_, _, _, n_steps), tokens = jax.lax.scan(step, init, jnp.arange(T))
+    return GreedyResult(tokens, n_steps)
+
+
 class BeamResult(NamedTuple):
     tokens: jax.Array    # (B, T) int32 — top beam history, valid through n_steps
     n_steps: jax.Array   # scalar int32

@@ -32,7 +32,9 @@ from recnet_tpu.parallel import mesh as mesh_lib
 
 def train(tc: TrainConfig, debug: bool = False, loss_only: bool = False,
           resume_from: Optional[str] = None, use_mesh: bool = False,
-          log_dir: Optional[str] = None, save_dir: Optional[str] = None):
+          log_dir: Optional[str] = None, save_dir: Optional[str] = None,
+          profile_dir: Optional[str] = None,
+          profile_window: tuple = (10, 14)):
     """Run the full training loop. Returns the final TrainState."""
     print(f"MODEL ID: {tc.id}")
     print(f"DEBUG MODE: {'ON' if debug else 'OFF'}")
@@ -79,6 +81,11 @@ def train(tc: TrainConfig, debug: bool = False, loss_only: bool = False,
 
     for iteration, (videos, captions) in enumerate(
             device_batches(), start_iter + 1):
+        # jax.profiler trace window (new aux capability; SURVEY §5)
+        if profile_dir and iteration == profile_window[0]:
+            jax.profiler.start_trace(profile_dir)
+        if profile_dir and iteration == profile_window[1]:
+            jax.profiler.stop_trace()
         if use_mesh:
             videos = jax.device_put(videos, video_sharding)
             captions = jax.device_put(captions, caption_sharding)

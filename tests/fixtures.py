@@ -102,3 +102,49 @@ def tiny_train_config(root: str, **overrides):
     )
     kw.update(overrides)
     return TrainConfig(**kw)
+
+
+def make_msrvtt_fixture(root: str, n_videos: int = 10, feat_dim: int = 32,
+                        captions_per_video: int = 4, seed: int = 1,
+                        encoder: str = "Tiny",
+                        splits: Tuple[int, int, int] = (6, 2, 2)):
+    """MSR-VTT-shaped fixture: videodatainfo-style JSON + HDF5 features."""
+    import h5py
+    import json
+
+    rng = np.random.default_rng(seed)
+    feat_dir = os.path.join(root, "MSR-VTT", "features")
+    meta_dir = os.path.join(root, "MSR-VTT", "metadata")
+    os.makedirs(feat_dir, exist_ok=True)
+    os.makedirs(meta_dir, exist_ok=True)
+
+    vids = [f"video{i}" for i in range(n_videos)]
+    videos = {v: rng.standard_normal(
+        (int(rng.integers(8, 50)), feat_dim)).astype(np.float32) for v in vids}
+    sentences = []
+    for v in vids:
+        for _ in range(captions_per_video):
+            n_words = int(rng.integers(3, 9))
+            sentences.append({"video_id": v,
+                              "caption": " ".join(rng.choice(WORDS, n_words))})
+
+    with h5py.File(os.path.join(feat_dir, f"{encoder}.hdf5"), "w") as f:
+        for v, arr in videos.items():
+            f[v] = arr
+    with open(os.path.join(meta_dir, "videodatainfo.json"), "w") as f:
+        json.dump({"sentences": sentences}, f)
+
+    n_train, n_val, n_test = splits
+    split_vids = {"train": vids[:n_train],
+                  "val": vids[n_train:n_train + n_val],
+                  "test": vids[n_train + n_val:n_train + n_val + n_test]}
+    for name, svids in split_vids.items():
+        with h5py.File(os.path.join(feat_dir, f"{encoder}_{name}.hdf5"),
+                       "w") as f:
+            for v in svids:
+                f[v] = videos[v]
+        sset = set(svids)
+        with open(os.path.join(meta_dir, f"{name}.json"), "w") as f:
+            json.dump({"sentences": [s for s in sentences
+                                     if s["video_id"] in sset]}, f)
+    return split_vids

@@ -149,3 +149,18 @@ def test_config_json_roundtrip():
     assert cfg2 == cfg
     assert cfg2.search_methods == ("greedy", ("beam", 5))
     assert "RecNet" in cfg2.id and "REC-local" in cfg2.id
+
+
+def test_msrvtt_corpus(tmp_path):
+    from fixtures import make_msrvtt_fixture
+    root = str(tmp_path / "msrvtt")
+    make_msrvtt_fixture(root)
+    cfg = tiny_train_config(root, corpus="MSR-VTT")
+    corpus = Corpus(cfg)
+    assert corpus.vocab.n_vocabs > 3
+    assert len(corpus.train_dataset) == 6 * 4
+    assert len(corpus.score_dataset) == 2
+    vid, video, caption = corpus.train_dataset.get(0)
+    assert video.shape == (cfg.encoder_output_len, cfg.encoder_output_size)
+    batches = list(corpus.train_batcher)
+    assert batches[0][1].shape[0] == cfg.batch_size

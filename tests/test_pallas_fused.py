@@ -75,3 +75,21 @@ def test_fused_step_matches_decoder_step_interpret():
     logits_fused = h_fused @ params["out_w"] + params["out_b"]
     np.testing.assert_allclose(np.asarray(logits_fused), np.asarray(logits),
                                rtol=2e-4, atol=2e-5)
+
+
+def test_pallas_greedy_decode_matches_xla(rng):
+    from recnet_tpu.decoding import greedy_decode, greedy_decode_pallas
+
+    cfg = dec_mod.DecoderConfig(
+        cell_type="GRU", n_layers=1, vocab_size=V, embedding_size=E,
+        embedding_scale=1.0, encoder_size=F, hidden_size=H, attn_size=A,
+        embedding_dropout=0.0, dropout=0.0, out_dropout=0.0)
+    params = dec_mod.init_decoder_params(jax.random.PRNGKey(5), cfg)
+    params = dict(params, out_w=params["out_w"] * 8.0)  # force EOS/PAD emission
+    enc = jnp.asarray(rng.standard_normal((B, L, F)).astype(np.float32))
+
+    ref = greedy_decode(params, cfg, enc, 9)
+    got = greedy_decode_pallas(params, cfg, enc, 9, block_b=8, interpret=True)
+    assert int(got.n_steps) == int(ref.n_steps)
+    np.testing.assert_array_equal(np.asarray(got.tokens),
+                                  np.asarray(ref.tokens))
