@@ -44,14 +44,19 @@ def main():
         ).astype(np.float32)).astype(jnp.bfloat16)
         # warmup / compile; np.asarray forces completion + fetch (the axon
         # tunnel's block_until_ready returns early, so timing must fetch)
-        res = greedy_decode(params, dcfg, videos, tc.caption_max_len)
+        res = greedy_decode(params, dcfg, videos, tc.caption_max_len,
+                            unroll=4)
         np.asarray(res.tokens)
 
         n_iters = 5
         t0 = time.perf_counter()
-        for _ in range(n_iters):
-            res = greedy_decode(params, dcfg, videos, tc.caption_max_len)
-            np.asarray(res.tokens)
+        # dispatch all, then fetch: device serializes compute while D2H
+        # overlaps (serving-style pipelining)
+        results = [greedy_decode(params, dcfg, videos, tc.caption_max_len,
+                                 unroll=4)
+                   for _ in range(n_iters)]
+        for r in results:
+            np.asarray(r.tokens)
         dt = time.perf_counter() - t0
         cps = batch * n_iters / dt
         if cps > best:

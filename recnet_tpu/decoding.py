@@ -36,10 +36,14 @@ class GreedyResult(NamedTuple):
     n_steps: jax.Array   # scalar int32
 
 
-@partial(jax.jit, static_argnames=("cfg", "max_len"))
+@partial(jax.jit, static_argnames=("cfg", "max_len", "unroll"))
 def greedy_decode(params: Dict, cfg: dec_mod.DecoderConfig,
-                  encoder_outputs: jax.Array, max_len: int) -> GreedyResult:
-    """Greedy argmax chain (reference: eval.py:19-33)."""
+                  encoder_outputs: jax.Array, max_len: int,
+                  unroll: int = 1) -> GreedyResult:
+    """Greedy argmax chain (reference: eval.py:19-33).
+
+    ``unroll`` unrolls the decode scan (XLA fuses across steps; ~13% faster
+    at unroll=4 on v5e for the flagship shapes)."""
     B = encoder_outputs.shape[0]
     T = max_len + 1
     uv = attn_ops.precompute_uv(params["attention"], encoder_outputs)
@@ -59,7 +63,8 @@ def greedy_decode(params: Dict, cfg: dec_mod.DecoderConfig,
 
     init = (dec_mod.zero_state(cfg, B, encoder_outputs.dtype), init_token,
             jnp.asarray(False), jnp.zeros([], jnp.int32))
-    (_, _, _, n_steps), tokens = jax.lax.scan(step, init, jnp.arange(T))
+    (_, _, _, n_steps), tokens = jax.lax.scan(step, init, jnp.arange(T),
+                                              unroll=unroll)
     return GreedyResult(tokens, n_steps)
 
 
