@@ -12,17 +12,25 @@ from typing import Dict, Optional
 
 import numpy as np
 
-from recnet_tpu.decoding import beam_decode, greedy_decode, tokens_to_sentences
+from recnet_tpu.decoding import (beam_decode, greedy_decode,
+                                 greedy_decode_pallas, tokens_to_sentences)
 from recnet_tpu.metrics import CaptionScorer, gts_from_pairs, res_from_dict
 
 
-def decode_batch(decoder_params, dcfg, videos, search_method, max_len: int):
+def decode_batch(decoder_params, dcfg, videos, search_method, max_len: int,
+                 use_pallas: bool = False):
     """Returns (n_steps, B) int token array, truncated like the reference."""
     import jax.numpy as jnp
 
     videos = jnp.asarray(videos)
     if isinstance(search_method, str) and search_method == "greedy":
-        res = greedy_decode(decoder_params, dcfg, videos, max_len)
+        B = videos.shape[0]
+        if (use_pallas and dcfg.cell_type == "GRU" and dcfg.n_layers == 1
+                and B % 8 == 0):
+            res = greedy_decode_pallas(decoder_params, dcfg, videos, max_len,
+                                       block_b=min(256, B))
+        else:
+            res = greedy_decode(decoder_params, dcfg, videos, max_len)
         n = int(res.n_steps)
         return np.asarray(res.tokens)[:n]                     # (n, B)
     elif isinstance(search_method, (tuple, list)) and search_method[0] == "beam":
@@ -45,7 +53,8 @@ def evaluate(tc, corpus, decoder_params, dcfg, search_method,
     total_pd = []
     for vids, videos in corpus.score_batcher:
         tokens = decode_batch(decoder_params, dcfg, videos, search_method,
-                              tc.caption_max_len)
+                              tc.caption_max_len,
+                              use_pallas=getattr(tc, "use_pallas", False))
         total_vids += list(vids)
         total_pd += tokens_to_sentences(tokens, corpus.vocab.idx2word, eos)
 

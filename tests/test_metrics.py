@@ -182,3 +182,16 @@ def test_caption_scorer_end_to_end():
         assert key in scores
     assert scores["Bleu_4"] > 0.3          # v1 is exact
     assert scorer.imgToEval["v1"]["ROUGE_L"] == 1.0
+
+
+def test_spice_stub_disabled():
+    from recnet_tpu.metrics import Spice
+    with pytest.raises(NotImplementedError):
+        Spice().compute_score({"a": ["x"]}, {"a": ["x"]})
+
+
+def test_sample_n():
+    from recnet_tpu.utils.misc import sample_n
+    import numpy as _np
+    out = sample_n(list(range(10)), 4, _np.random.default_rng(0))
+    assert len(out) == 4 and len(set(out)) == 4
