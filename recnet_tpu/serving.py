@@ -1,0 +1,85 @@
+"""Serving API: load a checkpoint, caption feature batches at throughput.
+
+A deployment-facing layer with no reference counterpart (the reference's only
+inference entry is the eval CLI, eval.py:172-208). Wraps the jitted decoders
+with fixed-shape padding, optional bf16 serving precision and the Pallas
+fused-step path.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from recnet_tpu import checkpoint as ckpt
+from recnet_tpu.decoding import (beam_decode, greedy_decode,
+                                 greedy_decode_pallas, tokens_to_sentences)
+from recnet_tpu.models import decoder as dec_mod
+from recnet_tpu.training.step import init_train_state
+
+
+class Captioner:
+    """Batched caption service over pre-extracted video features."""
+
+    def __init__(self, tc, vocab, dec_params, *, dtype: str = "bfloat16",
+                 batch_size: int = 1024, use_pallas: bool = False):
+        self.tc = tc
+        self.vocab = vocab
+        self.dcfg = dec_mod.config_from_train(tc, vocab.n_vocabs)
+        self.batch_size = batch_size
+        self.use_pallas = (use_pallas and self.dcfg.cell_type == "GRU"
+                           and self.dcfg.n_layers == 1)
+        self._dtype = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
+        self.params = jax.tree_util.tree_map(
+            lambda x: x.astype(self._dtype) if jnp.issubdtype(
+                x.dtype, jnp.floating) else x, dec_params)
+
+    @classmethod
+    def from_checkpoint(cls, step_dir: str, **kw) -> "Captioner":
+        tc, vocab = ckpt.load_config_and_vocab(step_dir)
+        state, dcfg, _ = init_train_state(
+            jax.random.PRNGKey(0), tc, vocab.n_vocabs)
+        state, _ = ckpt.load_checkpoint(step_dir, state)
+        return cls(tc, vocab, state.dec_params, **kw)
+
+    def _decode(self, videos: jax.Array, beam_width: Optional[int]):
+        max_len = self.tc.caption_max_len
+        if beam_width:
+            res = beam_decode(self.params, self.dcfg, videos, beam_width,
+                              max_len)
+            return np.asarray(res.tokens)[:, : int(res.n_steps)].T
+        if self.use_pallas and videos.shape[0] % 8 == 0:
+            res = greedy_decode_pallas(
+                self.params, self.dcfg, videos, max_len,
+                block_b=min(256, videos.shape[0]))
+        else:
+            res = greedy_decode(self.params, self.dcfg, videos, max_len,
+                                unroll=4)
+        return np.asarray(res.tokens)[: int(res.n_steps)]
+
+    def caption(self, features: Sequence[np.ndarray],
+                beam_width: Optional[int] = None) -> List[str]:
+        """features: list of (frames, feat) arrays (already encoder-output
+        sized, e.g. InceptionV4 1536-d). Returns one caption per input."""
+        from recnet_tpu.data import transforms as T
+
+        pipe = T.frame_pipeline("uniform", self.tc.encoder_output_len)
+        prepared = np.stack([pipe(np.asarray(f)) for f in features])
+        n = len(prepared)
+        out: List[str] = []
+        eos = self.vocab.word2idx["<EOS>"]
+        for start in range(0, n, self.batch_size):
+            chunk = prepared[start: start + self.batch_size]
+            pad = 0
+            if len(chunk) < self.batch_size and n > self.batch_size:
+                pad = self.batch_size - len(chunk)
+                chunk = np.concatenate([chunk, chunk[-1:].repeat(pad, 0)])
+            videos = jnp.asarray(chunk).astype(self._dtype)
+            tokens = self._decode(videos, beam_width)
+            sents = tokens_to_sentences(tokens, self.vocab.idx2word, eos)
+            out.extend(sents[: len(sents) - pad] if pad else sents)
+        return out

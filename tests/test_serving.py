@@ -1,0 +1,53 @@
+"""Serving API: checkpoint → Captioner → captions, greedy + beam."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from recnet_tpu import checkpoint as ckpt
+from recnet_tpu.data import Corpus
+from recnet_tpu.serving import Captioner
+from recnet_tpu.training.step import init_train_state
+
+from fixtures import make_msvd_fixture, tiny_train_config
+
+
+@pytest.fixture(scope="module")
+def captioner(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("msvd_srv"))
+    make_msvd_fixture(root)
+    tc = tiny_train_config(root)
+    corpus = Corpus(tc)
+    state, _, _ = init_train_state(jax.random.PRNGKey(0), tc,
+                                   corpus.vocab.n_vocabs)
+    d = ckpt.save_checkpoint(
+        str(tmp_path_factory.mktemp("ck")), 1, state, tc, corpus.vocab)
+    return Captioner.from_checkpoint(d, dtype="float32", batch_size=4)
+
+
+def test_caption_greedy(captioner):
+    rng = np.random.default_rng(0)
+    feats = [rng.standard_normal((n, 32)).astype(np.float32)
+             for n in (5, 20, 40)]
+    caps = captioner.caption(feats)
+    assert len(caps) == 3
+    assert all(isinstance(c, str) for c in caps)
+    # deterministic
+    assert captioner.caption(feats) == caps
+
+
+def test_caption_beam(captioner):
+    rng = np.random.default_rng(1)
+    feats = [rng.standard_normal((12, 32)).astype(np.float32)
+             for _ in range(5)]
+    caps = captioner.caption(feats, beam_width=2)
+    assert len(caps) == 5
+
+
+def test_caption_batched_padding(captioner):
+    rng = np.random.default_rng(2)
+    feats = [rng.standard_normal((10, 32)).astype(np.float32)
+             for _ in range(7)]  # 7 items, batch 4 -> padded second chunk
+    caps = captioner.caption(feats)
+    assert len(caps) == 7
