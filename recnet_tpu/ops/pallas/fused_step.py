@@ -33,8 +33,10 @@ def _kernel(emb_ref, h_ref, enc_ref, uv_ref,
             w_ih_ref, w_hh_ref, b_ref,
             h_out_ref,
             wh_scratch, ctx_scratch,
-            *, n_frames: int, emb_size: int):
+            *, n_frames: int, emb_size: int, frame_chunk: int,
+            feat_size: int, attn_size: int):
     j = pl.program_id(1)
+    n_chunks = n_frames // frame_chunk
 
     @pl.when(j == 0)
     def _init():
@@ -42,14 +44,21 @@ def _kernel(emb_ref, h_ref, enc_ref, uv_ref,
                                 preferred_element_type=jnp.float32)
         ctx_scratch[:] = jnp.zeros_like(ctx_scratch)
 
-    # score_j = tanh(W h + U v_j + b) @ w        (B, A) -> (B, 1)
-    act = jnp.tanh(wh_scratch[:] + uv_ref[:].astype(jnp.float32)
-                   + attn_b_ref[0, :].astype(jnp.float32))
-    score = jnp.dot(act, attn_v_ref[:].astype(jnp.float32),
-                    preferred_element_type=jnp.float32)      # (TB, 1)
-    ctx_scratch[:] += score * enc_ref[:].astype(jnp.float32)
+    # score_f = tanh(W h + U v_f + b) @ w, ctx += score_f * enc_f
+    # for each frame f in this chunk (statically unrolled)
+    attn_v = attn_v_ref[:].astype(jnp.float32)
+    attn_b = attn_b_ref[0, :].astype(jnp.float32)
+    acc = jnp.zeros_like(ctx_scratch)
+    for c in range(frame_chunk):
+        uv_c = uv_ref[:, c * attn_size:(c + 1) * attn_size]
+        act = jnp.tanh(wh_scratch[:] + uv_c.astype(jnp.float32) + attn_b)
+        score = jnp.dot(act, attn_v,
+                        preferred_element_type=jnp.float32)  # (TB, 1)
+        enc_c = enc_ref[:, c * feat_size:(c + 1) * feat_size]
+        acc = acc + score * enc_c.astype(jnp.float32)
+    ctx_scratch[:] += acc
 
-    @pl.when(j == n_frames - 1)
+    @pl.when(j == n_chunks - 1)
     def _finish():
         dtype = h_ref.dtype
         ctx = (ctx_scratch[:] / n_frames).astype(dtype)
@@ -80,12 +89,14 @@ def pack_gru_bias(b_ih: jax.Array, b_hh: jax.Array) -> jax.Array:
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("emb_size", "block_b", "interpret"))
+                   static_argnames=("emb_size", "block_b", "frame_chunk",
+                                    "interpret"))
 def fused_gru_attn_step(emb: jax.Array, h: jax.Array, enc: jax.Array,
                         uv: jax.Array, attn_w: jax.Array, attn_v: jax.Array,
                         attn_b: jax.Array, w_ih: jax.Array, w_hh: jax.Array,
                         bias3: jax.Array, *, emb_size: int,
-                        block_b: int = 128, interpret: bool = False
+                        block_b: int = 128, frame_chunk: int = 1,
+                        interpret: bool = False
                         ) -> jax.Array:
     """One fused decoder step.
 
@@ -98,14 +109,17 @@ def fused_gru_attn_step(emb: jax.Array, h: jax.Array, enc: jax.Array,
     A = attn_w.shape[-1]
     TB = min(block_b, B)
     assert B % TB == 0, f"batch {B} not divisible by block {TB}"
-    grid = (B // TB, L)
+    FC = frame_chunk
+    assert L % FC == 0, f"frames {L} not divisible by frame_chunk {FC}"
+    grid = (B // TB, L // FC)
 
     # flatten the frame axis into the lane axis: (B, L, F) -> (B, L*F) so the
-    # per-frame block (TB, F) satisfies TPU (8, 128) block-shape constraints
+    # per-chunk block (TB, FC*F) satisfies TPU (8, 128) block-shape constraints
     enc2 = enc.reshape(B, L * F)
     uv2 = uv.reshape(B, L * A)
 
-    kernel = functools.partial(_kernel, n_frames=L, emb_size=emb_size)
+    kernel = functools.partial(_kernel, n_frames=L, emb_size=emb_size,
+                               frame_chunk=FC, feat_size=F, attn_size=A)
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -114,9 +128,9 @@ def fused_gru_attn_step(emb: jax.Array, h: jax.Array, enc: jax.Array,
                          memory_space=pltpu.VMEM),          # emb
             pl.BlockSpec((TB, H), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),          # h
-            pl.BlockSpec((TB, F), lambda i, j: (i, j),
+            pl.BlockSpec((TB, FC * F), lambda i, j: (i, j),
                          memory_space=pltpu.VMEM),          # enc (streamed)
-            pl.BlockSpec((TB, A), lambda i, j: (i, j),
+            pl.BlockSpec((TB, FC * A), lambda i, j: (i, j),
                          memory_space=pltpu.VMEM),          # uv (streamed)
             pl.BlockSpec((H, A), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),          # attn_w

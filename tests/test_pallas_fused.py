@@ -93,3 +93,19 @@ def test_pallas_greedy_decode_matches_xla(rng):
     assert int(got.n_steps) == int(ref.n_steps)
     np.testing.assert_array_equal(np.asarray(got.tokens),
                                   np.asarray(ref.tokens))
+
+
+def test_fused_step_frame_chunking(rng):
+    """frame_chunk > 1 produces identical results."""
+    (emb, h, enc, uv, attn_w, attn_v, attn_b,
+     w_ih, w_hh, b_ih, b_hh) = _inputs(seed=4)
+    base = fused_gru_attn_step(
+        emb, h, enc, uv, attn_w, attn_v, attn_b, w_ih, w_hh,
+        pack_gru_bias(b_ih, b_hh), emb_size=E, block_b=8, frame_chunk=1,
+        interpret=True)
+    chunked = fused_gru_attn_step(
+        emb, h, enc, uv, attn_w, attn_v, attn_b, w_ih, w_hh,
+        pack_gru_bias(b_ih, b_hh), emb_size=E, block_b=8, frame_chunk=7,
+        interpret=True)
+    np.testing.assert_allclose(np.asarray(chunked), np.asarray(base),
+                               rtol=1e-6, atol=1e-7)
