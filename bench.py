@@ -24,7 +24,7 @@ def main():
     import jax.numpy as jnp
 
     from recnet_tpu.config import TrainConfig
-    from recnet_tpu.decoding import greedy_decode
+    from recnet_tpu.decoding import greedy_decode, greedy_decode_whole
     from recnet_tpu.models import decoder as dec_mod
 
     tc = TrainConfig()
@@ -38,29 +38,32 @@ def main():
     rng = np.random.default_rng(0)
     best = 0.0
     best_batch = 0
+    best_path = ""
+    paths = {
+        "xla_scan_unroll4": lambda v: greedy_decode(
+            params, dcfg, v, tc.caption_max_len, unroll=4),
+        "pallas_whole_decode": lambda v: greedy_decode_whole(
+            params, dcfg, v, tc.caption_max_len, block_b=128),
+    }
     for batch in (2048, 4096):
         videos = jnp.asarray(rng.standard_normal(
             (batch, tc.encoder_output_len, tc.encoder_output_size),
         ).astype(np.float32)).astype(jnp.bfloat16)
-        # warmup / compile; np.asarray forces completion + fetch (the axon
-        # tunnel's block_until_ready returns early, so timing must fetch)
-        res = greedy_decode(params, dcfg, videos, tc.caption_max_len,
-                            unroll=4)
-        np.asarray(res.tokens)
-
-        n_iters = 5
-        t0 = time.perf_counter()
-        # dispatch all, then fetch: device serializes compute while D2H
-        # overlaps (serving-style pipelining)
-        results = [greedy_decode(params, dcfg, videos, tc.caption_max_len,
-                                 unroll=4)
-                   for _ in range(n_iters)]
-        for r in results:
-            np.asarray(r.tokens)
-        dt = time.perf_counter() - t0
-        cps = batch * n_iters / dt
-        if cps > best:
-            best, best_batch = cps, batch
+        for name, fn in paths.items():
+            # warmup/compile; np.asarray forces completion + fetch (the axon
+            # tunnel's block_until_ready returns early, so timing must fetch)
+            np.asarray(fn(videos).tokens)
+            n_iters = 5
+            t0 = time.perf_counter()
+            # dispatch all, then fetch: device serializes compute while D2H
+            # overlaps (serving-style pipelining)
+            results = [fn(videos) for _ in range(n_iters)]
+            for r in results:
+                np.asarray(r.tokens)
+            dt = time.perf_counter() - t0
+            cps = batch * n_iters / dt
+            if cps > best:
+                best, best_batch, best_path = cps, batch, name
 
     print(json.dumps({
         "metric": "captions_per_sec_greedy",
@@ -69,6 +72,7 @@ def main():
         "vs_baseline": round(best / BASELINE_CAPTIONS_PER_SEC, 3),
         "detail": {"batch_size": best_batch, "decode_steps": 31,
                    "vocab": vocab_size, "dtype": "bfloat16",
+                   "path": best_path,
                    "device": str(jax.devices()[0])},
     }))
 

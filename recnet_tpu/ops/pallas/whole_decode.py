@@ -1,0 +1,173 @@
+"""Pallas TPU kernel: the ENTIRE greedy decode loop in one kernel.
+
+The step-at-a-time decode (XLA scan or the fused-step kernel) re-reads the
+encoder features and every weight matrix from HBM on each of the 31 steps —
+~11 GB of HBM traffic per batch-4096 decode. This kernel keeps everything
+resident in VMEM (v5e has ~128 MB; the default 16 MB scoped limit is raised
+via CompilerParams.vmem_limit_bytes) and loops the full recurrence on-chip:
+
+  grid = batch tiles; per tile (all in VMEM, weights fetched once):
+    enc tile (TB, 28·1536), uv tile, embedding table, GRU + attention +
+    output-projection weights
+    fori_loop over T steps:
+      one-hot(token) @ emb  — MXU gather of the next input embedding
+      unnormalized additive attention over the resident enc tile
+      GRU cell; logits = h @ out_w + out_b; token = argmax
+  HBM traffic: enc once per tile + weights once per call (~0.4 GB total).
+
+Greedy-chain semantics match decoding.greedy_decode exactly after host-side
+truncation: rows evolve independently, so the reference's whole-batch early
+break (eval.py:30) is recovered by computing n_steps from the emitted token
+matrix (first step where every token is <PAD>).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(enc_ref, uv_ref, emb_ref, attn_w_ref, attn_v_ref, attn_b_ref,
+            w_ih_ref, w_hh_ref, b_ref, out_w_ref, out_b_ref, tok_out_ref,
+            *, n_steps: int, n_frames: int, emb_size: int, feat_size: int,
+            attn_size: int, hidden: int, vocab: int, sos: int,
+            early_exit: bool):
+    TB = tok_out_ref.shape[0]
+    dtype = emb_ref.dtype
+
+    attn_v = attn_v_ref[:].astype(jnp.float32)            # (A, 1)
+    attn_b = attn_b_ref[0, :].astype(jnp.float32)         # (A,)
+    b_ih = b_ref[0, :].astype(jnp.float32)
+    b_hh = b_ref[1, :].astype(jnp.float32)
+    iota_v = jax.lax.broadcasted_iota(jnp.int32, (TB, vocab), 1)
+    iota_t = jax.lax.broadcasted_iota(jnp.int32, (TB, n_steps), 1)
+
+    def step(t, carry):
+        h, token, toks = carry                            # h (TB,H) dtype
+        # --- embedding gather as one-hot matmul (MXU) ---
+        onehot = (iota_v == token).astype(dtype)          # (TB, V)
+        emb_t = jnp.dot(onehot, emb_ref[:],
+                        preferred_element_type=jnp.float32)  # (TB, E)
+        # --- unnormalized additive attention over resident enc ---
+        wh = jnp.dot(h, attn_w_ref[:],
+                     preferred_element_type=jnp.float32)  # (TB, A)
+        ctx = jnp.zeros((TB, feat_size), jnp.float32)
+        for c in range(n_frames):
+            uv_c = uv_ref[:, c * attn_size:(c + 1) * attn_size]
+            act = jnp.tanh(wh + uv_c.astype(jnp.float32) + attn_b)
+            score = jnp.dot(act, attn_v,
+                            preferred_element_type=jnp.float32)  # (TB,1)
+            enc_c = enc_ref[:, c * feat_size:(c + 1) * feat_size]
+            ctx = ctx + score * enc_c.astype(jnp.float32)
+        ctx = ctx / n_frames
+        # --- GRU cell (PyTorch gate order r,z,n) ---
+        gi = (jnp.dot(emb_t.astype(dtype), w_ih_ref[:emb_size, :],
+                      preferred_element_type=jnp.float32)
+              + jnp.dot(ctx.astype(dtype), w_ih_ref[emb_size:, :],
+                        preferred_element_type=jnp.float32) + b_ih)
+        gh = jnp.dot(h, w_hh_ref[:],
+                     preferred_element_type=jnp.float32) + b_hh
+        H = hidden
+        r = jax.nn.sigmoid(gi[:, :H] + gh[:, :H])
+        z = jax.nn.sigmoid(gi[:, H:2 * H] + gh[:, H:2 * H])
+        n = jnp.tanh(gi[:, 2 * H:] + r * gh[:, 2 * H:])
+        h_new = ((1.0 - z) * n + z * h.astype(jnp.float32)).astype(dtype)
+        # --- vocab projection + argmax ---
+        logits = jnp.dot(h_new, out_w_ref[:],
+                         preferred_element_type=jnp.float32) \
+            + out_b_ref[0, :].astype(jnp.float32)
+        token_new = jnp.argmax(logits, axis=-1).astype(jnp.int32)[:, None]
+        # record token at column t via one-hot select (dynamic_update_slice
+        # is not lowerable in Mosaic)
+        toks = jnp.where(iota_t == t, token_new, toks)
+        return h_new, token_new, toks
+
+    h0 = jnp.zeros((TB, hidden), dtype)
+    tok0 = jnp.full((TB, 1), sos, jnp.int32)
+    toks0 = jnp.zeros((TB, n_steps), jnp.int32)
+    if early_exit:
+        # stop this tile's loop once every one of ITS rows emitted <PAD> —
+        # the whole-batch break of eval.py:30, applied per tile. Exact for
+        # B <= block_b; for multi-tile batches it deviates only if a row
+        # emits non-<PAD> after its whole tile went <PAD> (PAD-fed
+        # "resurrection"), which trained models essentially never do.
+        def cond(c):
+            t, _, token, _ = c
+            return (t < n_steps) & jnp.logical_not(jnp.all(token == 0))
+
+        def body(c):
+            t, h, token, toks = c
+            h, token, toks = step(t, (h, token, toks))
+            return t + 1, h, token, toks
+
+        _, _, _, toks = jax.lax.while_loop(
+            cond, body, (0, h0, tok0, toks0))
+    else:
+        _, _, toks = jax.lax.fori_loop(0, n_steps, step, (h0, tok0, toks0))
+    tok_out_ref[:] = toks
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("emb_size", "max_len", "block_b",
+                                    "sos", "early_exit", "interpret"))
+def whole_greedy_decode(params: Dict, enc: jax.Array, uv: jax.Array,
+                        bias2: jax.Array, *, emb_size: int, max_len: int,
+                        block_b: int = 128, sos: int = 1,
+                        early_exit: bool = False,
+                        interpret: bool = False) -> jax.Array:
+    """Run the full greedy decode in one pallas_call.
+
+    params: decoder param dict (embedding, attention{W,w,b}, rnn[0], out_w,
+    out_b); enc (B, L, F); uv (B, L, A) precomputed; bias2 (2, 3H).
+    Returns tokens (B, T=max_len+1) int32.
+    """
+    B, L, F = enc.shape
+    a = params["attention"]
+    r = params["rnn"][0]
+    emb = params["embedding"]
+    V, E = emb.shape
+    H = r["w_hh"].shape[0]
+    A = a["W"].shape[1]
+    T = max_len + 1
+    TB = min(block_b, B)
+    assert B % TB == 0
+
+    enc2 = enc.reshape(B, L * F)
+    uv2 = uv.reshape(B, L * A)
+    attn_b2 = a["b"][None, :]
+    out_b2 = params["out_b"][None, :]
+
+    kernel = functools.partial(
+        _kernel, n_steps=T, n_frames=L, emb_size=E, feat_size=F,
+        attn_size=A, hidden=H, vocab=V, sos=sos, early_exit=early_exit)
+
+    const = lambda i: (0, 0)
+    tile = lambda i: (i, 0)
+    return pl.pallas_call(
+        kernel,
+        grid=(B // TB,),
+        in_specs=[
+            pl.BlockSpec((TB, L * F), tile, memory_space=pltpu.VMEM),   # enc
+            pl.BlockSpec((TB, L * A), tile, memory_space=pltpu.VMEM),   # uv
+            pl.BlockSpec((V, E), const, memory_space=pltpu.VMEM),       # emb
+            pl.BlockSpec((H, A), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((A, 1), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, A), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((E + F, 3 * H), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, 3 * H), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, 3 * H), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, V), const, memory_space=pltpu.VMEM),       # out_w
+            pl.BlockSpec((1, V), const, memory_space=pltpu.VMEM),       # out_b
+        ],
+        out_specs=pl.BlockSpec((TB, T), tile, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, T), jnp.int32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(enc2, uv2, emb, a["W"], a["w"], attn_b2, r["w_ih"], r["w_hh"],
+      bias2, params["out_w"], out_b2)
