@@ -1,0 +1,130 @@
+"""Full benchmark sweep: greedy (xla/pallas), beam, train step.
+
+Writes benchmarks/results.json and prints a table. bench.py at the repo root
+remains the driver-facing single-line benchmark; this script is the detailed
+sweep behind README's performance table.
+
+Usage: python benchmarks/run_all.py [--quick]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _fetch(x):
+    return np.asarray(x)
+
+
+def bench_decode(results, quick=False):
+    import jax
+    import jax.numpy as jnp
+
+    from recnet_tpu.config import TrainConfig
+    from recnet_tpu.decoding import (beam_decode, greedy_decode,
+                                     greedy_decode_whole)
+    from recnet_tpu.models import decoder as dec_mod
+
+    tc = TrainConfig()
+    dcfg = dec_mod.config_from_train(tc, 4188)
+    params = dec_mod.init_decoder_params(jax.random.PRNGKey(0), dcfg)
+    params = jax.tree_util.tree_map(lambda x: x.astype(jnp.bfloat16), params)
+    rng = np.random.default_rng(0)
+
+    batches = (2048,) if quick else (2048, 4096)
+    for B in batches:
+        videos = jnp.asarray(rng.standard_normal(
+            (B, 28, 1536)).astype(np.float32)).astype(jnp.bfloat16)
+        paths = {
+            "greedy_xla_unroll4": lambda: greedy_decode(
+                params, dcfg, videos, 30, unroll=4),
+            "greedy_pallas_whole": lambda: greedy_decode_whole(
+                params, dcfg, videos, 30, block_b=128),
+        }
+        if B <= 2048:
+            paths["beam5"] = lambda: beam_decode(params, dcfg, videos, 5, 30)
+        for name, fn in paths.items():
+            _fetch(fn().tokens)
+            iters = 3 if quick else 5
+            t0 = time.perf_counter()
+            rs = [fn() for _ in range(iters)]
+            for r in rs:
+                _fetch(r.tokens)
+            dt = (time.perf_counter() - t0) / iters
+            results[f"{name}_B{B}"] = {
+                "ms": round(dt * 1000, 1),
+                "captions_per_sec": round(B / dt, 1)}
+            print(f"{name:24s} B={B}: {dt*1000:7.1f} ms  "
+                  f"{B/dt:9.0f} captions/s")
+
+
+def bench_train(results, quick=False):
+    import jax
+    import jax.numpy as jnp
+
+    from recnet_tpu.config import TrainConfig
+    from recnet_tpu.training.step import init_train_state, build_train_step
+
+    configs = [(100, "global")] if quick else [(100, "global"),
+                                               (100, "local"),
+                                               (1024, "global")]
+    for B, recon in configs:
+        tc = TrainConfig(batch_size=B, use_recon=True,
+                         reconstructor_type=recon)
+        V = 4188
+        state, dcfg, rcfg = init_train_state(jax.random.PRNGKey(0), tc, V)
+        step = build_train_step(tc, dcfg, rcfg)
+        rng = np.random.default_rng(0)
+        T = tc.caption_max_len + 1
+        videos = jnp.asarray(
+            rng.standard_normal((B, 28, 1536)).astype(np.float32))
+        caps = np.zeros((T, B), np.int32)
+        for b in range(B):
+            L = int(rng.integers(5, T))
+            caps[: L - 1, b] = rng.integers(3, V, L - 1)
+            caps[L - 1, b] = 2
+        caps = jnp.asarray(caps)
+        key = jax.random.PRNGKey(1)
+        state, m = step(state, videos, caps, key)
+        _ = float(m["loss"])
+        iters = 5 if quick else 10
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state, m = step(state, videos, caps, key)
+        _ = float(m["loss"])
+        dt = (time.perf_counter() - t0) / iters
+        results[f"train_B{B}_{recon}"] = {
+            "ms_per_step": round(dt * 1000, 1),
+            "steps_per_sec": round(1 / dt, 1),
+            "samples_per_sec": round(B / dt, 1)}
+        print(f"train B={B} {recon:6s}: {dt*1000:7.1f} ms/step  "
+              f"{1/dt:6.1f} steps/s  {B/dt:9.0f} samples/s")
+
+
+def main():
+    a = argparse.ArgumentParser()
+    a.add_argument("--quick", action="store_true")
+    args = a.parse_args()
+
+    import jax
+    results = {"device": str(jax.devices()[0]), "time": time.time()}
+    bench_decode(results, args.quick)
+    bench_train(results, args.quick)
+
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "results.json")
+    with open(out, "w") as f:
+        json.dump(results, f, indent=2)
+    print(f"Wrote {out}")
+
+
+if __name__ == "__main__":
+    main()

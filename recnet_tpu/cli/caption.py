@@ -1,0 +1,46 @@
+"""CLI: python -m recnet_tpu.cli.caption --ckpt <dir> --features f.hdf5
+
+Batch captioning of an HDF5 feature file (serving entry point; no reference
+counterpart — the reference's only inference path is the eval CLI).
+Writes "<vid>\t\t<caption>" lines, the predictions.txt format of
+reference eval.py:158-160.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+from recnet_tpu.data.datasets import load_videos_hdf5
+from recnet_tpu.serving import Captioner
+
+
+def main(argv=None):
+    a = argparse.ArgumentParser()
+    a.add_argument("--ckpt", type=str, required=True)
+    a.add_argument("--features", type=str, required=True,
+                   help="HDF5 of per-video feature arrays (frames, feat)")
+    a.add_argument("--out", type=str, default="captions.txt")
+    a.add_argument("--beam", type=int, default=0,
+                   help="beam width (0 = greedy)")
+    a.add_argument("--batch_size", type=int, default=1024)
+    a.add_argument("--dtype", type=str, default="bfloat16",
+                   choices=["bfloat16", "float32"])
+    args = a.parse_args(argv)
+
+    captioner = Captioner.from_checkpoint(
+        args.ckpt, dtype=args.dtype, batch_size=args.batch_size)
+    videos = load_videos_hdf5(args.features)
+    vids = list(videos.keys())
+    captions = captioner.caption(
+        [videos[v] for v in vids],
+        beam_width=args.beam if args.beam > 0 else None)
+    with open(args.out, "w") as f:
+        for vid, cap in zip(vids, captions):
+            f.write(f"{vid}\t\t{cap}\n")
+    print(f"Wrote {len(captions)} captions to {args.out}")
+
+
+if __name__ == "__main__":
+    main()
