@@ -74,7 +74,9 @@ def prefetch_to_device(iterator: Iterator, size: int = 2, sharding=None,
 
     Array leaves are jax.device_put (optionally with a NamedSharding so
     batches land pre-sharded across the mesh); non-array leaves (vid string
-    lists) pass through untouched.
+    lists) pass through untouched. ``sharding`` may be a single sharding or
+    a tuple with one entry per batch element (e.g. videos batch-first,
+    captions time-major).
     """
     import jax
 
@@ -82,12 +84,14 @@ def prefetch_to_device(iterator: Iterator, size: int = 2, sharding=None,
     _SENTINEL = object()
 
     def put(batch):
-        def maybe_put(x):
+        def maybe_put(x, s):
             if isinstance(x, np.ndarray):
-                return jax.device_put(x, sharding) if sharding is not None \
+                return jax.device_put(x, s) if s is not None \
                     else jax.device_put(x)
             return x
-        return tuple(maybe_put(x) for x in batch)
+        if isinstance(sharding, (tuple, list)):
+            return tuple(maybe_put(x, s) for x, s in zip(batch, sharding))
+        return tuple(maybe_put(x, sharding) for x in batch)
 
     def worker():
         try:

@@ -24,11 +24,15 @@ def decode_batch(decoder_params, dcfg, videos, search_method, max_len: int,
 
     videos = jnp.asarray(videos)
     if isinstance(search_method, str) and search_method == "greedy":
+        import jax
+
         B = videos.shape[0]
         if (use_pallas and dcfg.cell_type == "GRU" and dcfg.n_layers == 1
-                and B % 8 == 0):
-            res = greedy_decode_pallas(decoder_params, dcfg, videos, max_len,
-                                       block_b=min(256, B))
+                and jax.default_backend() != "cpu"):
+            from recnet_tpu.decoding import greedy_decode_whole
+            block = 128 if B % 128 == 0 else B
+            res = greedy_decode_whole(decoder_params, dcfg, videos, max_len,
+                                      block_b=block)
         else:
             res = greedy_decode(decoder_params, dcfg, videos, max_len)
         n = int(res.n_steps)

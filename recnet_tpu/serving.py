@@ -52,10 +52,12 @@ class Captioner:
             res = beam_decode(self.params, self.dcfg, videos, beam_width,
                               max_len)
             return np.asarray(res.tokens)[:, : int(res.n_steps)].T
-        if self.use_pallas and videos.shape[0] % 8 == 0:
-            res = greedy_decode_pallas(
+        if self.use_pallas and jax.default_backend() != "cpu":
+            from recnet_tpu.decoding import greedy_decode_whole
+            B = videos.shape[0]
+            res = greedy_decode_whole(
                 self.params, self.dcfg, videos, max_len,
-                block_b=min(256, videos.shape[0]))
+                block_b=128 if B % 128 == 0 else B)
         else:
             res = greedy_decode(self.params, self.dcfg, videos, max_len,
                                 unroll=4)

@@ -71,8 +71,9 @@ def train(tc: TrainConfig, debug: bool = False, loss_only: bool = False,
     def device_batches():
         it = cycle(corpus.train_batcher)
         stripped = ((videos, captions) for _, videos, captions in it)
+        sharding = (video_sharding, caption_sharding) if use_mesh else None
         yield from prefetch_to_device(stripped, tc.prefetch_depth,
-                                      sharding=None)
+                                      sharding=sharding)
 
     train_loss = train_dec = train_rec = 0.0
     t_start = time.time()
@@ -86,9 +87,6 @@ def train(tc: TrainConfig, debug: bool = False, loss_only: bool = False,
             jax.profiler.start_trace(profile_dir)
         if profile_dir and iteration == profile_window[1]:
             jax.profiler.stop_trace()
-        if use_mesh:
-            videos = jax.device_put(videos, video_sharding)
-            captions = jax.device_put(captions, caption_sharding)
         state, metrics = train_step(state, videos, captions, rng)
 
         train_loss += float(metrics["loss"])
