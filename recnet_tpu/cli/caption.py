@@ -10,8 +10,6 @@ from __future__ import annotations
 
 import argparse
 
-import numpy as np
-
 from recnet_tpu.data.datasets import load_videos_hdf5
 from recnet_tpu.serving import Captioner
 

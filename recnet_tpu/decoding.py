@@ -22,7 +22,7 @@ Faithful quirks (required for output parity, verified against a NumPy oracle):
 from __future__ import annotations
 
 from functools import partial
-from typing import Dict, NamedTuple, Tuple
+from typing import Dict, NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -13,7 +13,7 @@ from typing import Dict, Optional
 import numpy as np
 
 from recnet_tpu.decoding import (beam_decode, greedy_decode,
-                                 greedy_decode_pallas, tokens_to_sentences)
+                                 tokens_to_sentences)
 from recnet_tpu.metrics import CaptionScorer, gts_from_pairs, res_from_dict
 
 

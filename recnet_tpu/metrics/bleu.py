@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import math
 from collections import defaultdict
-from typing import Dict, List, Tuple
+from typing import Dict, List
 
 
 def _ngram_counts(words: List[str], n: int = 4) -> Dict[tuple, int]:

@@ -19,7 +19,6 @@ inter-layer dropout only fires for n_layers > 1).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Dict, NamedTuple, Optional, Tuple
 
 import jax

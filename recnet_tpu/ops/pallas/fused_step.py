@@ -20,8 +20,6 @@ outputs bf16 (the serving dtype) or f32 for small shapes.
 from __future__ import annotations
 
 import functools
-from typing import Dict, Tuple
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

@@ -17,7 +17,7 @@ import jax.numpy as jnp
 
 from recnet_tpu import checkpoint as ckpt
 from recnet_tpu.decoding import (beam_decode, greedy_decode,
-                                 greedy_decode_pallas, tokens_to_sentences)
+                                 tokens_to_sentences)
 from recnet_tpu.models import decoder as dec_mod
 from recnet_tpu.training.step import init_train_state
 

@@ -11,7 +11,6 @@ New capability: resume from checkpoint (--resume), which the reference lacks.
 
 from __future__ import annotations
 
-import os
 import time
 from typing import Optional
 

@@ -16,8 +16,7 @@ Gradient clip (global-norm 50) applies to the decoder grads only
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Dict, NamedTuple, Optional, Tuple
+from typing import Any, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
