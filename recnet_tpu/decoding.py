@@ -122,19 +122,19 @@ def greedy_decode_whole(params: Dict, cfg: dec_mod.DecoderConfig,
                         interpret: bool = False) -> GreedyResult:
     """Greedy decode with the WHOLE loop inside one Pallas kernel
     (ops.pallas.whole_decode): weights + encoder tile stay VMEM-resident
-    across all steps. GRU, 1 layer. Matches greedy_decode on the executed
-    prefix; n_steps recovered from the first all-<PAD> step (eval.py:30)."""
-    assert cfg.cell_type == "GRU" and cfg.n_layers == 1
-    from recnet_tpu.ops.pallas.fused_step import pack_gru_bias
+    across all steps. GRU or LSTM, 1 layer. Matches greedy_decode on the
+    executed prefix; n_steps recovered from the first all-<PAD> step
+    (eval.py:30)."""
+    assert cfg.n_layers == 1
     from recnet_tpu.ops.pallas.whole_decode import whole_greedy_decode
 
     r = params["rnn"][0]
     uv = attn_ops.precompute_uv(params["attention"], encoder_outputs)
-    bias2 = pack_gru_bias(r["b_ih"], r["b_hh"])
+    bias2 = jnp.stack([r["b_ih"], r["b_hh"]])
     tokens_bt = whole_greedy_decode(
         params, encoder_outputs, uv, bias2, emb_size=cfg.embedding_size,
         max_len=max_len, block_b=block_b, sos=cfg.sos_token,
-        early_exit=early_exit, interpret=interpret)
+        cell_type=cfg.cell_type, early_exit=early_exit, interpret=interpret)
     tokens = tokens_bt.T                                   # (T, B)
     T = max_len + 1
     all_pad = jnp.all(tokens == cfg.pad_token, axis=1)     # (T,)

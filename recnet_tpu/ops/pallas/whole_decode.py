@@ -36,7 +36,7 @@ def _kernel(enc_ref, uv_ref, emb_ref, attn_w_ref, attn_v_ref, attn_b_ref,
             w_ih_ref, w_hh_ref, b_ref, out_w_ref, out_b_ref, tok_out_ref,
             *, n_steps: int, n_frames: int, emb_size: int, feat_size: int,
             attn_size: int, hidden: int, vocab: int, sos: int,
-            early_exit: bool):
+            early_exit: bool, cell_type: str = "GRU"):
     TB = tok_out_ref.shape[0]
     dtype = emb_ref.dtype
 
@@ -48,7 +48,7 @@ def _kernel(enc_ref, uv_ref, emb_ref, attn_w_ref, attn_v_ref, attn_b_ref,
     iota_t = jax.lax.broadcasted_iota(jnp.int32, (TB, n_steps), 1)
 
     def step(t, carry):
-        h, token, toks = carry                            # h (TB,H) dtype
+        h, c_state, token, toks = carry                   # h (TB,H) dtype
         # --- embedding gather as one-hot matmul (MXU) ---
         onehot = (iota_v == token).astype(dtype)          # (TB, V)
         emb_t = jnp.dot(onehot, emb_ref[:],
@@ -65,7 +65,7 @@ def _kernel(enc_ref, uv_ref, emb_ref, attn_w_ref, attn_v_ref, attn_b_ref,
             enc_c = enc_ref[:, c * feat_size:(c + 1) * feat_size]
             ctx = ctx + score * enc_c.astype(jnp.float32)
         ctx = ctx / n_frames
-        # --- GRU cell (PyTorch gate order r,z,n) ---
+        # --- RNN cell (PyTorch gate orders: GRU r,z,n / LSTM i,f,g,o) ---
         gi = (jnp.dot(emb_t.astype(dtype), w_ih_ref[:emb_size, :],
                       preferred_element_type=jnp.float32)
               + jnp.dot(ctx.astype(dtype), w_ih_ref[emb_size:, :],
@@ -73,10 +73,21 @@ def _kernel(enc_ref, uv_ref, emb_ref, attn_w_ref, attn_v_ref, attn_b_ref,
         gh = jnp.dot(h, w_hh_ref[:],
                      preferred_element_type=jnp.float32) + b_hh
         H = hidden
-        r = jax.nn.sigmoid(gi[:, :H] + gh[:, :H])
-        z = jax.nn.sigmoid(gi[:, H:2 * H] + gh[:, H:2 * H])
-        n = jnp.tanh(gi[:, 2 * H:] + r * gh[:, 2 * H:])
-        h_new = ((1.0 - z) * n + z * h.astype(jnp.float32)).astype(dtype)
+        if cell_type == "GRU":
+            r = jax.nn.sigmoid(gi[:, :H] + gh[:, :H])
+            z = jax.nn.sigmoid(gi[:, H:2 * H] + gh[:, H:2 * H])
+            n = jnp.tanh(gi[:, 2 * H:] + r * gh[:, 2 * H:])
+            h_new = ((1.0 - z) * n + z * h.astype(jnp.float32)).astype(dtype)
+            c_new = c_state
+        else:  # LSTM
+            g = gi + gh
+            i_g = jax.nn.sigmoid(g[:, :H])
+            f_g = jax.nn.sigmoid(g[:, H:2 * H])
+            g_g = jnp.tanh(g[:, 2 * H:3 * H])
+            o_g = jax.nn.sigmoid(g[:, 3 * H:])
+            c_new_f32 = f_g * c_state.astype(jnp.float32) + i_g * g_g
+            h_new = (o_g * jnp.tanh(c_new_f32)).astype(dtype)
+            c_new = c_new_f32.astype(dtype)
         # --- vocab projection + argmax ---
         logits = jnp.dot(h_new, out_w_ref[:],
                          preferred_element_type=jnp.float32) \
@@ -85,9 +96,10 @@ def _kernel(enc_ref, uv_ref, emb_ref, attn_w_ref, attn_v_ref, attn_b_ref,
         # record token at column t via one-hot select (dynamic_update_slice
         # is not lowerable in Mosaic)
         toks = jnp.where(iota_t == t, token_new, toks)
-        return h_new, token_new, toks
+        return h_new, c_new, token_new, toks
 
     h0 = jnp.zeros((TB, hidden), dtype)
+    c0 = jnp.zeros((TB, hidden), dtype)
     tok0 = jnp.full((TB, 1), sos, jnp.int32)
     toks0 = jnp.zeros((TB, n_steps), jnp.int32)
     if early_exit:
@@ -96,29 +108,31 @@ def _kernel(enc_ref, uv_ref, emb_ref, attn_w_ref, attn_v_ref, attn_b_ref,
         # B <= block_b; for multi-tile batches it deviates only if a row
         # emits non-<PAD> after its whole tile went <PAD> (PAD-fed
         # "resurrection"), which trained models essentially never do.
-        def cond(c):
-            t, _, token, _ = c
+        def cond(carry):
+            t, _, _, token, _ = carry
             return (t < n_steps) & jnp.logical_not(jnp.all(token == 0))
 
-        def body(c):
-            t, h, token, toks = c
-            h, token, toks = step(t, (h, token, toks))
-            return t + 1, h, token, toks
+        def body(carry):
+            t, h, cs, token, toks = carry
+            h, cs, token, toks = step(t, (h, cs, token, toks))
+            return t + 1, h, cs, token, toks
 
-        _, _, _, toks = jax.lax.while_loop(
-            cond, body, (0, h0, tok0, toks0))
+        _, _, _, _, toks = jax.lax.while_loop(
+            cond, body, (0, h0, c0, tok0, toks0))
     else:
-        _, _, toks = jax.lax.fori_loop(0, n_steps, step, (h0, tok0, toks0))
+        _, _, _, toks = jax.lax.fori_loop(
+            0, n_steps, step, (h0, c0, tok0, toks0))
     tok_out_ref[:] = toks
 
 
 @functools.partial(jax.jit,
                    static_argnames=("emb_size", "max_len", "block_b",
-                                    "sos", "early_exit", "interpret"))
+                                    "sos", "cell_type", "early_exit",
+                                    "interpret"))
 def whole_greedy_decode(params: Dict, enc: jax.Array, uv: jax.Array,
                         bias2: jax.Array, *, emb_size: int, max_len: int,
                         block_b: int = 128, sos: int = 1,
-                        early_exit: bool = False,
+                        cell_type: str = "GRU", early_exit: bool = False,
                         interpret: bool = False) -> jax.Array:
     """Run the full greedy decode in one pallas_call.
 
@@ -132,6 +146,7 @@ def whole_greedy_decode(params: Dict, enc: jax.Array, uv: jax.Array,
     emb = params["embedding"]
     V, E = emb.shape
     H = r["w_hh"].shape[0]
+    n_gates = r["w_hh"].shape[1] // H
     A = a["W"].shape[1]
     T = max_len + 1
     TB = min(block_b, B)
@@ -144,7 +159,8 @@ def whole_greedy_decode(params: Dict, enc: jax.Array, uv: jax.Array,
 
     kernel = functools.partial(
         _kernel, n_steps=T, n_frames=L, emb_size=E, feat_size=F,
-        attn_size=A, hidden=H, vocab=V, sos=sos, early_exit=early_exit)
+        attn_size=A, hidden=H, vocab=V, sos=sos, early_exit=early_exit,
+        cell_type=cell_type)
 
     const = lambda i: (0, 0)
     tile = lambda i: (i, 0)
@@ -158,9 +174,10 @@ def whole_greedy_decode(params: Dict, enc: jax.Array, uv: jax.Array,
             pl.BlockSpec((H, A), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((A, 1), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, A), const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((E + F, 3 * H), const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((H, 3 * H), const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, 3 * H), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((E + F, n_gates * H), const,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, n_gates * H), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, n_gates * H), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((H, V), const, memory_space=pltpu.VMEM),       # out_w
             pl.BlockSpec((1, V), const, memory_space=pltpu.VMEM),       # out_b
         ],

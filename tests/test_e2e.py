@@ -114,3 +114,14 @@ def test_evaluate_greedy_and_beam(fixture_root, tmp_path):
         assert set(tc.scores) <= set(scores.keys())
         for v in scores.values():
             assert np.isfinite(v)
+
+
+def test_train_loop_with_mesh(fixture_root, tmp_path):
+    """use_mesh=True on the virtual 8-device CPU mesh end-to-end."""
+    tc = tiny_train_config(
+        fixture_root, batch_size=8, n_iterations=3, log_every=3,
+        validate_every=100, test_every=100, save_every=100,
+        mesh_shape=(("data", 4), ("model", 2)))
+    state = train(tc, debug=False, loss_only=True, use_mesh=True,
+                  save_dir=str(tmp_path / "c"), log_dir=str(tmp_path / "l"))
+    assert int(state.step) == 3

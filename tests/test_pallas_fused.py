@@ -150,3 +150,22 @@ def test_whole_decode_early_exit_matches(rng):
     assert int(fast.n_steps) == n
     np.testing.assert_array_equal(np.asarray(fast.tokens)[:n],
                                   np.asarray(full.tokens)[:n])
+
+
+def test_whole_decode_lstm_matches_xla(rng):
+    from recnet_tpu.decoding import greedy_decode, greedy_decode_whole
+
+    cfg = dec_mod.DecoderConfig(
+        cell_type="LSTM", n_layers=1, vocab_size=V, embedding_size=E,
+        embedding_scale=1.0, encoder_size=F, hidden_size=H, attn_size=A,
+        embedding_dropout=0.0, dropout=0.0, out_dropout=0.0)
+    params = dec_mod.init_decoder_params(jax.random.PRNGKey(11), cfg)
+    params = dict(params, out_w=params["out_w"] * 8.0)
+    enc = jnp.asarray(rng.standard_normal((B, L, F)).astype(np.float32))
+
+    ref = greedy_decode(params, cfg, enc, 9)
+    got = greedy_decode_whole(params, cfg, enc, 9, block_b=8, interpret=True)
+    n = int(ref.n_steps)
+    assert int(got.n_steps) == n
+    np.testing.assert_array_equal(np.asarray(got.tokens)[:n],
+                                  np.asarray(ref.tokens)[:n])
