@@ -54,6 +54,17 @@ def save_checkpoint(ckpt_dir: str, step: int, state, tc, vocab,
     return step_dir
 
 
+def prune_old(ckpt_dir: str, keep_last_k: int) -> None:
+    """Retention: delete all but the newest k step directories."""
+    import shutil
+
+    if not os.path.isdir(ckpt_dir):
+        return
+    steps = sorted(int(d) for d in os.listdir(ckpt_dir) if d.isdigit())
+    for step in steps[:-keep_last_k] if keep_last_k > 0 else []:
+        shutil.rmtree(os.path.join(ckpt_dir, str(step)), ignore_errors=True)
+
+
 def latest_step(ckpt_dir: str) -> Optional[int]:
     if not os.path.isdir(ckpt_dir):
         return None

@@ -33,7 +33,8 @@ def train(tc: TrainConfig, debug: bool = False, loss_only: bool = False,
           resume_from: Optional[str] = None, use_mesh: bool = False,
           log_dir: Optional[str] = None, save_dir: Optional[str] = None,
           profile_dir: Optional[str] = None,
-          profile_window: tuple = (10, 14)):
+          profile_window: tuple = (10, 14),
+          keep_last_k: int = 0):
     """Run the full training loop. Returns the final TrainState."""
     print(f"MODEL ID: {tc.id}")
     print(f"DEBUG MODE: {'ON' if debug else 'OFF'}")
@@ -88,15 +89,18 @@ def train(tc: TrainConfig, debug: bool = False, loss_only: bool = False,
             jax.profiler.stop_trace()
         state, metrics = train_step(state, videos, captions, rng)
 
-        train_loss += float(metrics["loss"])
-        train_dec += float(metrics["dec_loss"])
-        train_rec += float(metrics["rec_loss"])
+        # accumulate on-device; only the log-cadence step forces a host sync
+        # (the reference's loss.item() at train.py:275-277 synced every
+        # iteration — a pipeline stall the TPU loop avoids)
+        train_loss = train_loss + metrics["loss"]
+        train_dec = train_dec + metrics["dec_loss"]
+        train_rec = train_rec + metrics["rec_loss"]
 
         if debug or iteration % tc.log_every == 0:
             n = tc.log_every * tc.batch_size
-            train_loss /= n
-            train_dec /= n
-            train_rec /= n
+            train_loss = float(train_loss) / n
+            train_dec = float(train_dec) / n
+            train_rec = float(train_rec) / n
             dt = time.time() - t_start
             steps_sec = (tc.log_every if not debug else 1) / max(dt, 1e-9)
             if writer:
@@ -129,6 +133,8 @@ def train(tc: TrainConfig, debug: bool = False, loss_only: bool = False,
 
         if iteration % tc.save_every == 0:
             path = ckpt.save_checkpoint(save_dir, iteration, state, tc, vocab)
+            if keep_last_k:
+                ckpt.prune_old(save_dir, keep_last_k)
             print(f"Saved checkpoint: {path}")
 
         if iteration >= tc.n_iterations:

@@ -125,3 +125,16 @@ def test_train_loop_with_mesh(fixture_root, tmp_path):
     state = train(tc, debug=False, loss_only=True, use_mesh=True,
                   save_dir=str(tmp_path / "c"), log_dir=str(tmp_path / "l"))
     assert int(state.step) == 3
+
+
+def test_checkpoint_retention(fixture_root, tmp_path):
+    tc = tiny_train_config(fixture_root)
+    corpus = Corpus(tc)
+    state, _, _ = init_train_state(jax.random.PRNGKey(0), tc,
+                                   corpus.vocab.n_vocabs)
+    d = str(tmp_path / "ret")
+    for step in (1, 2, 3, 4):
+        ckpt.save_checkpoint(d, step, state, tc, corpus.vocab)
+    ckpt.prune_old(d, keep_last_k=2)
+    assert sorted(int(x) for x in os.listdir(d) if x.isdigit()) == [3, 4]
+    assert ckpt.latest_step(d) == 4
