@@ -22,6 +22,12 @@ def main(argv=None):
                    help="checkpoint step directory to resume from")
     a.add_argument("--mesh", action="store_true",
                    help="shard over all visible devices (data parallel)")
+    a.add_argument("--mesh_shape", type=str, default=None,
+                   help='e.g. "data=4,model=2" (implies --mesh)')
+    a.add_argument("--keep_last_k", type=int, default=0,
+                   help="checkpoint retention (0 = keep all)")
+    a.add_argument("--profile_dir", type=str, default=None,
+                   help="jax.profiler trace directory (traces iters 10-14)")
     args = a.parse_args(argv)
 
     if args.config:
@@ -30,8 +36,16 @@ def main(argv=None):
     else:
         tc = TrainConfig()
 
+    use_mesh = args.mesh
+    if args.mesh_shape:
+        shape = tuple((kv.split("=")[0], int(kv.split("=")[1]))
+                      for kv in args.mesh_shape.split(","))
+        tc = tc.replace(mesh_shape=shape)
+        use_mesh = True
+
     train(tc, debug=args.debug, loss_only=args.loss_only,
-          resume_from=args.resume, use_mesh=args.mesh)
+          resume_from=args.resume, use_mesh=use_mesh,
+          profile_dir=args.profile_dir, keep_last_k=args.keep_last_k)
 
 
 if __name__ == "__main__":

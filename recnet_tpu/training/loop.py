@@ -101,6 +101,15 @@ def train(tc: TrainConfig, debug: bool = False, loss_only: bool = False,
             train_loss = float(train_loss) / n
             train_dec = float(train_dec) / n
             train_rec = float(train_rec) / n
+            # failure detection (new aux capability; the reference has none,
+            # SURVEY §5): non-finite loss -> emergency checkpoint + abort
+            if not np.isfinite(train_loss):
+                path = ckpt.save_checkpoint(
+                    save_dir, iteration, state, tc, vocab,
+                    extra={"emergency": True, "loss": train_loss})
+                raise FloatingPointError(
+                    f"non-finite training loss {train_loss} at iteration "
+                    f"{iteration}; emergency checkpoint saved to {path}")
             dt = time.time() - t_start
             steps_sec = (tc.log_every if not debug else 1) / max(dt, 1e-9)
             if writer:
