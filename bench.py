@@ -45,7 +45,8 @@ def main():
         "pallas_whole_decode": lambda v: greedy_decode_whole(
             params, dcfg, v, tc.caption_max_len, block_b=128),
     }
-    for batch in (2048, 4096):
+    for batch in (4096,):   # one size: each (path, batch) costs a ~60-120s
+                            # remote compile through the dev tunnel
         videos = jnp.asarray(rng.standard_normal(
             (batch, tc.encoder_output_len, tc.encoder_output_size),
         ).astype(np.float32)).astype(jnp.bfloat16)

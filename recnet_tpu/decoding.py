@@ -223,6 +223,45 @@ def beam_decode(params: Dict, cfg: dec_mod.DecoderConfig,
     return BeamResult(history[:, 0, :], n_steps, cum_prob)
 
 
+@partial(jax.jit, static_argnames=("cfg", "max_len", "top_k"))
+def sample_decode(params: Dict, cfg: dec_mod.DecoderConfig,
+                  encoder_outputs: jax.Array, max_len: int,
+                  rng: jax.Array, temperature: float = 1.0,
+                  top_k: int = 0) -> GreedyResult:
+    """Stochastic decoding: temperature / top-k sampling over the softmax.
+
+    New capability (the reference only has greedy + beam, eval.py:19-120);
+    useful for caption diversity. Same fixed-shape scan + freeze-on-all-PAD
+    semantics as greedy_decode.
+    """
+    B = encoder_outputs.shape[0]
+    T = max_len + 1
+    uv = attn_ops.precompute_uv(params["attention"], encoder_outputs)
+    init_token = jnp.full((B,), cfg.sos_token, jnp.int32)
+
+    def step(carry, t):
+        state, token, done, n_steps = carry
+        logits, new_state = dec_mod.decoder_step(
+            params, cfg, token, state, encoder_outputs, uv, None, False)
+        logits = logits / jnp.maximum(temperature, 1e-6)
+        if top_k > 0:
+            kth = jnp.sort(logits, axis=-1)[:, -top_k][:, None]
+            logits = jnp.where(logits < kth, -jnp.inf, logits)
+        out = jax.random.categorical(
+            jax.random.fold_in(rng, t), logits, axis=-1).astype(jnp.int32)
+        out = jnp.where(done, jnp.int32(cfg.pad_token), out)
+        new_done = done | jnp.all(out == cfg.pad_token)
+        n_steps = jnp.where(done, n_steps, t + 1)
+        state = jax.tree_util.tree_map(
+            lambda n, o: jnp.where(done, o, n), new_state, state)
+        return (state, out, new_done, n_steps), out
+
+    init = (dec_mod.zero_state(cfg, B, encoder_outputs.dtype), init_token,
+            jnp.asarray(False), jnp.zeros([], jnp.int32))
+    (_, _, _, n_steps), tokens = jax.lax.scan(step, init, jnp.arange(T))
+    return GreedyResult(tokens, n_steps)
+
+
 def tokens_to_sentences(idxs, idx2word, eos_token: int):
     """(T, B) or (B, T)→list[str]; cut at first EOS (reference: utils.py:11-20).
 

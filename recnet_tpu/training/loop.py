@@ -77,7 +77,6 @@ def train(tc: TrainConfig, debug: bool = False, loss_only: bool = False,
 
     train_loss = train_dec = train_rec = 0.0
     t_start = time.time()
-    tokens_done = 0
     start_iter = int(state.step)
 
     for iteration, (videos, captions) in enumerate(

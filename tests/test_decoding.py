@@ -151,3 +151,49 @@ def test_tokens_to_sentences():
     idxs = np.array([[3, 3], [4, 2], [2, 4]])  # (T=3, B=2)
     sents = tokens_to_sentences(idxs, idx2word, eos_token=2)
     assert sents == ["cat runs", "cat"]
+
+
+def test_sample_decode_shapes_and_determinism():
+    from recnet_tpu.decoding import sample_decode
+    cfg = _cfg("GRU")
+    params = dec_mod.init_decoder_params(jax.random.PRNGKey(2), cfg)
+    rng = np.random.default_rng(5)
+    enc = jnp.asarray(rng.standard_normal((B, F, ENC)).astype(np.float32))
+    key = jax.random.PRNGKey(0)
+    r1 = sample_decode(params, cfg, enc, MAX_LEN, key, temperature=1.0)
+    r2 = sample_decode(params, cfg, enc, MAX_LEN, key, temperature=1.0)
+    np.testing.assert_array_equal(np.asarray(r1.tokens), np.asarray(r2.tokens))
+    assert r1.tokens.shape == (MAX_LEN + 1, B)
+    # different key -> (almost surely) different tokens
+    r3 = sample_decode(params, cfg, enc, MAX_LEN, jax.random.PRNGKey(1))
+    assert not np.array_equal(np.asarray(r1.tokens), np.asarray(r3.tokens))
+
+
+def test_sample_decode_low_temperature_approaches_greedy():
+    from recnet_tpu.decoding import sample_decode, greedy_decode
+    cfg = _cfg("GRU")
+    params = dec_mod.init_decoder_params(jax.random.PRNGKey(2), cfg)
+    rng = np.random.default_rng(6)
+    enc = jnp.asarray(rng.standard_normal((B, F, ENC)).astype(np.float32))
+    g = greedy_decode(params, cfg, enc, MAX_LEN)
+    s = sample_decode(params, cfg, enc, MAX_LEN, jax.random.PRNGKey(0),
+                      temperature=1e-4)
+    n = min(int(g.n_steps), int(s.n_steps))
+    np.testing.assert_array_equal(np.asarray(s.tokens)[:n],
+                                  np.asarray(g.tokens)[:n])
+
+
+def test_sample_decode_top_k_restricts_support():
+    from recnet_tpu.decoding import sample_decode
+    cfg = _cfg("GRU")
+    params = dec_mod.init_decoder_params(jax.random.PRNGKey(2), cfg)
+    rng = np.random.default_rng(7)
+    enc = jnp.asarray(rng.standard_normal((B, F, ENC)).astype(np.float32))
+    # top_k=1 == greedy chain
+    from recnet_tpu.decoding import greedy_decode
+    g = greedy_decode(params, cfg, enc, MAX_LEN)
+    s = sample_decode(params, cfg, enc, MAX_LEN, jax.random.PRNGKey(3),
+                      top_k=1)
+    n = min(int(g.n_steps), int(s.n_steps))
+    np.testing.assert_array_equal(np.asarray(s.tokens)[:n],
+                                  np.asarray(g.tokens)[:n])

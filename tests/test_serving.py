@@ -51,3 +51,38 @@ def test_caption_batched_padding(captioner):
              for _ in range(7)]  # 7 items, batch 4 -> padded second chunk
     caps = captioner.caption(feats)
     assert len(caps) == 7
+
+
+def test_caption_cli(tmp_path_factory, captioner, tmp_path):
+    """cli.caption end-to-end on a fixture HDF5."""
+    import h5py
+    import numpy as np
+    from recnet_tpu.cli.caption import main as caption_main
+    from recnet_tpu import checkpoint as ckpt_mod
+
+    # reuse the captioner fixture's checkpoint via a fresh save
+    feat = tmp_path / "feats.hdf5"
+    rng = np.random.default_rng(3)
+    with h5py.File(str(feat), "w") as f:
+        for i in range(3):
+            f[f"v{i}"] = rng.standard_normal((10, 32)).astype(np.float32)
+    d = ckpt_mod.save_checkpoint(str(tmp_path / "ck"), 1,
+                                 _state_of(captioner), captioner.tc,
+                                 captioner.vocab)
+    out = tmp_path / "caps.txt"
+    caption_main(["--ckpt", d, "--features", str(feat),
+                  "--out", str(out), "--dtype", "float32",
+                  "--batch_size", "4"])
+    lines = out.read_text().strip().split("\n")
+    assert len(lines) == 3
+    assert all("\t\t" in l for l in lines)
+
+
+def _state_of(captioner):
+    """Rebuild a TrainState around the captioner's params for saving."""
+    import jax
+    from recnet_tpu.training.step import init_train_state
+    state, _, _ = init_train_state(jax.random.PRNGKey(0), captioner.tc,
+                                   captioner.vocab.n_vocabs)
+    return state._replace(dec_params=jax.tree_util.tree_map(
+        lambda x: x.astype("float32"), captioner.params))
