@@ -164,3 +164,24 @@ def test_msrvtt_corpus(tmp_path):
     assert video.shape == (cfg.encoder_output_len, cfg.encoder_output_size)
     batches = list(corpus.train_batcher)
     assert batches[0][1].shape[0] == cfg.batch_size
+
+
+def test_concat_features(tmp_path):
+    import h5py
+    from recnet_tpu.data.concat_features import concat_features
+
+    rng = np.random.default_rng(0)
+    a, b, out = (str(tmp_path / n) for n in ("a.hdf5", "b.hdf5", "o.hdf5"))
+    with h5py.File(a, "w") as f:
+        f["v1"] = rng.standard_normal((10, 4)).astype(np.float32)
+        f["v2"] = rng.standard_normal((6, 4)).astype(np.float32)
+        f["only_a"] = rng.standard_normal((3, 4)).astype(np.float32)
+    with h5py.File(b, "w") as f:
+        f["v1"] = rng.standard_normal((5, 6)).astype(np.float32)
+        f["v2"] = rng.standard_normal((6, 6)).astype(np.float32)
+    n = concat_features(a, b, out)
+    assert n == 2
+    with h5py.File(out, "r") as f:
+        assert f["v1"].shape == (10, 10)  # resampled b to 10 frames, 4+6 dims
+        assert f["v2"].shape == (6, 10)
+        assert "only_a" not in f

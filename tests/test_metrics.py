@@ -195,3 +195,25 @@ def test_sample_n():
     import numpy as _np
     out = sample_n(list(range(10)), 4, _np.random.default_rng(0))
     assert len(out) == 4 and len(set(out)) == 4
+
+
+def test_coco_captions_adapter(tmp_path):
+    import json
+    from recnet_tpu.metrics.coco import COCOCaptions
+
+    ds = {"images": [{"id": 1}, {"id": 2}],
+          "annotations": [
+              {"id": 10, "image_id": 1, "caption": "a man runs"},
+              {"id": 11, "image_id": 1, "caption": "someone is running"},
+              {"id": 12, "image_id": 2, "caption": "a dog sleeps"}]}
+    p = tmp_path / "caps.json"
+    p.write_text(json.dumps(ds))
+    coco = COCOCaptions(str(p))
+    assert set(coco.getImgIds()) == {1, 2}
+    assert len(coco.imgToAnns[1]) == 2
+
+    res = coco.loadRes([{"image_id": 1, "caption": "a man runs"},
+                        {"image_id": 2, "caption": "a cat"}])
+    scorer = CaptionScorer(coco.to_gts(), res.to_gts())
+    scores = scorer.evaluate()
+    assert scores["Bleu_1"] > 0.3
