@@ -161,22 +161,39 @@ def beam_decode(params: Dict, cfg: dec_mod.DecoderConfig,
     dtype = encoder_outputs.dtype
     neg_inf = jnp.asarray(-jnp.inf, dtype)
 
-    enc_rep = jnp.repeat(encoder_outputs, K, axis=0)            # (B*K, F, E)
-    uv_rep = attn_ops.precompute_uv(params["attention"], enc_rep)
+    # uv computed once on (B, F, A) — the encoder is SHARED across beams
+    # (the reference re-runs the decoder per beam with the same enc,
+    # eval.py:47-48; replicating enc K× would read it K× per step)
+    uv = attn_ops.precompute_uv(params["attention"], encoder_outputs)
+    a = params["attention"]
+
+    def beam_decoder_step(tokens, state):
+        """decoder_step (models/decoder.py:45-70, eval mode) with the
+        attention batched over (B, K) against the shared encoder."""
+        emb = params["embedding"][tokens] * cfg.embedding_scale  # (B, K, E)
+        query = state[0][:, :, -1]                               # (B, K, H)
+        wh = query @ a["W"]                                      # (B, K, A)
+        act = jnp.tanh(wh[:, :, None, :] + uv[:, None, :, :] + a["b"])
+        scores = jnp.squeeze(act @ a["w"], -1)                   # (B, K, F)
+        ctx = jnp.einsum("bkf,bfe->bke", scores, encoder_outputs) / F
+        x = jnp.concatenate([emb, ctx], axis=-1).reshape(B * K, -1)
+        flat_state = (
+            jnp.moveaxis(state[0].reshape(B * K, cfg.n_layers, -1), 1, 0),
+            jnp.moveaxis(state[1].reshape(B * K, cfg.n_layers, -1), 1, 0))
+        out, (nh, nc) = dec_mod._multilayer_rnn(
+            cfg, params["rnn"], x, flat_state, None, False)
+        logits = out @ params["out_w"] + params["out_b"]
+        unflat = lambda s: jnp.moveaxis(s, 0, 1).reshape(
+            B, K, cfg.n_layers, -1)
+        return logits.reshape(B, K, V), (unflat(nh), unflat(nc))
 
     def step(carry, t):
         (h, c, tokens, cum_prob, last_eos, history, done, n_steps) = carry
         # h, c: (B, K, L, H); tokens: (B, K); cum_prob: (B, K);
         # last_eos: (B, K); history: (B, K, T)
 
-        # --- decoder step for all beams at once ---
-        flat = lambda x: x.reshape((B * K,) + x.shape[2:])
-        state = (jnp.moveaxis(flat(h), 1, 0), jnp.moveaxis(flat(c), 1, 0))
-        logits, (nh, nc) = dec_mod.decoder_step(
-            params, cfg, flat(tokens), state, enc_rep, uv_rep, None, False)
-        logits = logits.reshape(B, K, V)
-        nh = jnp.moveaxis(nh, 0, 1).reshape(B, K, -1, nh.shape[-1])
-        nc = jnp.moveaxis(nc, 0, 1).reshape(B, K, -1, nc.shape[-1])
+        # --- decoder step for all beams at once (shared encoder) ---
+        logits, (nh, nc) = beam_decoder_step(tokens, (h, c))
 
         # --- length-penalized cumulative score (eval.py:51-63) ---
         seq_len = jnp.where(last_eos >= 0, last_eos + 1, t + 1).astype(dtype)
