@@ -108,6 +108,9 @@ def _kernel(enc_ref, uv_ref, emb_ref, attn_w_ref, attn_v_ref, attn_b_ref,
         # B <= block_b; for multi-tile batches it deviates only if a row
         # emits non-<PAD> after its whole tile went <PAD> (PAD-fed
         # "resurrection"), which trained models essentially never do.
+        # NOTE: measured ~2x slower per executed step than the fori_loop
+        # (while_loop defeats Mosaic pipelining) — only profitable when
+        # captions end well before max_len.
         def cond(carry):
             t, _, _, token, _ = carry
             return (t < n_steps) & jnp.logical_not(jnp.all(token == 0))
