@@ -138,3 +138,22 @@ def test_checkpoint_retention(fixture_root, tmp_path):
     ckpt.prune_old(d, keep_last_k=2)
     assert sorted(int(x) for x in os.listdir(d) if x.isdigit()) == [3, 4]
     assert ckpt.latest_step(d) == 4
+
+
+def test_train_loop_without_reconstructor(fixture_root, tmp_path):
+    """README.md:77 config: wo. reconstructor, full loop incl. val + test."""
+    tc = tiny_train_config(
+        fixture_root, use_recon=False, n_iterations=4, log_every=2,
+        validate_every=4, test_every=4, save_every=4,
+        search_methods=("greedy",))
+    cwd = os.getcwd()
+    os.chdir(str(tmp_path))
+    try:
+        state = train(tc, debug=False, loss_only=False,
+                      save_dir=str(tmp_path / "c"),
+                      log_dir=str(tmp_path / "l"))
+    finally:
+        os.chdir(cwd)
+    assert int(state.step) == 4
+    assert state.rec_params is None
+    assert ckpt.latest_step(str(tmp_path / "c")) == 4
