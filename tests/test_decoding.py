@@ -133,9 +133,8 @@ def test_greedy_matches_oracle(cell_type, seed):
 
 
 @pytest.mark.parametrize("cell_type", ["LSTM", "GRU"])
-@pytest.mark.parametrize("seed", [0, 1, 2])
-def test_beam_matches_oracle(cell_type, seed):
-    K = 3
+@pytest.mark.parametrize("seed,K", [(0, 3), (1, 3), (2, 3), (0, 5)])
+def test_beam_matches_oracle(cell_type, seed, K):
     cfg, params, enc = _setup(cell_type, seed)
     oracle = OracleDecoder(params, cell_type)
     o_top1 = oracle_beam(oracle, enc, K, MAX_LEN)   # (B, n_steps)
