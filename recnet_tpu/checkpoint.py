@@ -92,6 +92,12 @@ def load_checkpoint(step_dir: str, example_state) -> Tuple[Any, dict]:
         if tuple(got.shape) != tuple(np.shape(exp)):
             raise ValueError(f"Shape mismatch: {got.shape} vs "
                              f"{np.shape(exp)}")
+        exp_dtype = np.asarray(exp).dtype
+        if got.dtype != exp_dtype:
+            raise ValueError(
+                f"Dtype mismatch: checkpoint leaf is {got.dtype}, model "
+                f"expects {exp_dtype} (was the checkpoint saved with cast "
+                f"params, e.g. bf16?)")
     state = jax.tree_util.tree_unflatten(treedef, leaves)
     return state, meta
 

@@ -101,7 +101,9 @@ class TrainConfig:
 
     # Reconstructor (reference: config.py:73-82)
     use_recon: bool = True
-    reconstructor_type: str = "global"  # ["global", "local"]
+    reconstructor_type: str = "local"   # ["global", "local"]; reference
+    # default is "local" (config.py:76) — matched so the default config
+    # trains the same model variant as the reference's default run.
     reconstructor_n_layers: int = 1
     reconstructor_hidden_size: int = 1536
     reconstructor_decoder_dropout: float = 0.5

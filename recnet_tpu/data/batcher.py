@@ -82,6 +82,7 @@ def prefetch_to_device(iterator: Iterator, size: int = 2, sharding=None,
 
     q: queue.Queue = queue.Queue(maxsize=size)
     _SENTINEL = object()
+    _ERROR = object()
 
     def put(batch):
         def maybe_put(x, s):
@@ -94,10 +95,15 @@ def prefetch_to_device(iterator: Iterator, size: int = 2, sharding=None,
         return tuple(maybe_put(x, sharding) for x in batch)
 
     def worker():
+        # A producer failure must surface in the consumer, not end the
+        # stream quietly (a swallowed I/O error mid-training would make
+        # train() return early as if the run had finished).
         try:
             for batch in iterator:
                 q.put(put(batch))
-        finally:
+        except BaseException as e:  # noqa: BLE001 — re-raised in consumer
+            q.put((_ERROR, e))
+        else:
             q.put(_SENTINEL)
 
     t = threading.Thread(target=worker, daemon=True)
@@ -106,4 +112,6 @@ def prefetch_to_device(iterator: Iterator, size: int = 2, sharding=None,
         item = q.get()
         if item is _SENTINEL:
             break
+        if isinstance(item, tuple) and len(item) == 2 and item[0] is _ERROR:
+            raise RuntimeError("prefetch worker failed") from item[1]
         yield item

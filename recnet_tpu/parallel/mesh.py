@@ -52,8 +52,15 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def _spec_for_path(path_str: str, use_tp: bool) -> P:
-    """Partition rule by parameter name."""
+    """Partition rule by parameter name.
+
+    TP rules apply only inside the decoder subtree (.dec_params / .dec_opt):
+    the reconstructor also has out_w/out_b, but those are (hidden, hidden) —
+    not vocab-sized — and stay replicated.
+    """
     if not use_tp:
+        return P()
+    if not (".dec_params" in path_str or ".dec_opt" in path_str):
         return P()
     if "embedding" in path_str:
         return P("model", None)      # (V, E) sharded over vocab

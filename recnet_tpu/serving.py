@@ -76,12 +76,22 @@ class Captioner:
         eos = self.vocab.word2idx["<EOS>"]
         for start in range(0, n, self.batch_size):
             chunk = prepared[start: start + self.batch_size]
-            pad = 0
-            if len(chunk) < self.batch_size and n > self.batch_size:
-                pad = self.batch_size - len(chunk)
+            # Pad every chunk up to a fixed power-of-two bucket (capped at
+            # batch_size) so varying request sizes reuse at most
+            # log2(batch_size) compiled programs instead of one per size.
+            target = self._bucket_size(len(chunk))
+            pad = target - len(chunk)
+            if pad:
                 chunk = np.concatenate([chunk, chunk[-1:].repeat(pad, 0)])
             videos = jnp.asarray(chunk).astype(self._dtype)
             tokens = self._decode(videos, beam_width)
             sents = tokens_to_sentences(tokens, self.vocab.idx2word, eos)
             out.extend(sents[: len(sents) - pad] if pad else sents)
         return out
+
+    def _bucket_size(self, n: int) -> int:
+        """Smallest power-of-two >= n (min 8), capped at batch_size."""
+        b = 8
+        while b < n:
+            b *= 2
+        return min(b, self.batch_size)

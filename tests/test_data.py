@@ -185,3 +185,34 @@ def test_concat_features(tmp_path):
         assert f["v1"].shape == (10, 10)  # resampled b to 10 frames, 4+6 dims
         assert f["v2"].shape == (6, 10)
         assert "only_a" not in f
+
+
+# ---------------- prefetch error propagation ----------------
+
+def test_prefetch_propagates_worker_exception():
+    """A producer failure must raise in the consumer, not silently end the
+    stream (which would make train() return early as if finished)."""
+    from recnet_tpu.data.batcher import prefetch_to_device
+
+    def flaky():
+        yield (["v0"], np.ones((2, 3), np.float32))
+        raise IOError("disk died mid-epoch")
+
+    it = prefetch_to_device(flaky(), size=2)
+    first = next(it)
+    assert first[0] == ["v0"]
+    with pytest.raises(RuntimeError, match="prefetch worker failed") as ei:
+        list(it)
+    assert isinstance(ei.value.__cause__, IOError)
+
+
+def test_prefetch_clean_end_still_terminates():
+    from recnet_tpu.data.batcher import prefetch_to_device
+
+    def gen():
+        for i in range(3):
+            yield (["v%d" % i], np.full((1, 2), i, np.float32))
+
+    out = list(prefetch_to_device(gen(), size=2))
+    assert len(out) == 3
+    assert out[2][0] == ["v2"]

@@ -53,6 +53,27 @@ def test_caption_batched_padding(captioner):
     assert len(caps) == 7
 
 
+def test_small_batches_share_one_bucket_shape(captioner, monkeypatch):
+    """n < batch_size requests pad to a fixed bucket: every distinct small n
+    must reach _decode with the SAME shape (→ one compile, stable jit cache),
+    instead of one shape (and one compile) per n."""
+    shapes = []
+    real_decode = captioner._decode
+
+    def spy(videos, beam_width):
+        shapes.append(tuple(videos.shape))
+        return real_decode(videos, beam_width)
+
+    monkeypatch.setattr(captioner, "_decode", spy)
+    rng = np.random.default_rng(4)
+    for n in (1, 2, 3, 4):
+        feats = [rng.standard_normal((10, 32)).astype(np.float32)
+                 for _ in range(n)]
+        caps = captioner.caption(feats)
+        assert len(caps) == n
+    assert len(set(shapes)) == 1, f"recompile per size: {shapes}"
+
+
 def test_caption_cli(tmp_path_factory, captioner, tmp_path):
     """cli.caption end-to-end on a fixture HDF5."""
     import h5py
