@@ -12,10 +12,25 @@ formulation (Lavie & Agarwal 2007, as also used by NLTK/HF reimplementations):
 with match modules exact (weight 1.0) and Porter-stem (weight 0.6).
 
 Documented deltas vs the jar (accepted; the jar is not shippable without a
-JVM): no WordNet synonym / paraphrase-table modules; Porter1 instead of
-Snowball stemming; greedy closest-occurrence alignment instead of the jar's
-beam-search alignment; 2007 instead of 1.5's WMT-tuned parameters. Segment
-scores typically land within ~1-2 METEOR points of the jar on caption data.
+JVM): no WordNet synonym / paraphrase-table modules; Porter-with-Snowball-1c
+instead of full Snowball stemming; greedy closest-occurrence alignment
+instead of the jar's beam-search alignment; 2007 instead of 1.5's WMT-tuned
+parameters. **Scores are therefore NOT numerically comparable to jar-based
+published numbers** (e.g. the reference README's METEOR 27.2/27.3); compare
+METEOR only between runs of this implementation. CaptionScorer prints a
+one-time warning to that effect.
+
+Measured accuracy (tests/test_metrics.py::test_meteor_matches_nltk_*): with
+the stem weight set to NLTK's unweighted 1.0, segment scores agree with
+NLTK 3.10's independent 2007-formulation implementation EXACTLY (delta 0.0)
+on caption pairs whose maximal alignment is unique. On pairs with
+duplicate-word alignment ambiguity the two diverge (mean |delta| 0.045 over
+the 15-pair suite) because NLTK matches the last occurrence while this
+implementation picks the closest occurrence — the 2007 paper specifies
+choosing the maximal matching with the FEWEST CHUNKS, which closest-occurrence
+satisfies on these cases and NLTK does not (verified by hand-computed
+golden values in test_meteor_duplicate_alignment_follows_spec).
+
 Corpus score aggregates sufficient statistics over segments (as the jar's
 EVAL phase does), not a mean of segment scores.
 """
@@ -35,11 +50,13 @@ W_EXACT = 1.0
 W_STEM = 0.6
 
 
-def _align(hyp: List[str], ref: List[str]) -> Tuple[List[Tuple[int, int, float]], int]:
+def _align(hyp: List[str], ref: List[str], stem_weight: float = W_STEM
+           ) -> Tuple[List[Tuple[int, int, float]], int]:
     """Two-stage (exact, stem) alignment.
 
     Returns (matches [(hyp_i, ref_j, weight)], chunks). Greedy: hyp words
-    left-to-right pick the closest unmatched ref occurrence.
+    left-to-right pick the closest unmatched ref occurrence (which realizes
+    the 2007 spec's fewest-chunks tie-break on duplicate words).
     """
     matches: List[Tuple[int, int, float]] = []
     hyp_used = [False] * len(hyp)
@@ -63,7 +80,8 @@ def _align(hyp: List[str], ref: List[str]) -> Tuple[List[Tuple[int, int, float]]
                 matches.append((i, j, weight))
 
     stage(hyp, ref, W_EXACT)
-    stage([porter_stem(w) for w in hyp], [porter_stem(w) for w in ref], W_STEM)
+    stage([porter_stem(w) for w in hyp], [porter_stem(w) for w in ref],
+          stem_weight)
 
     matches.sort(key=lambda m: m[0])
     chunks = 0
@@ -92,9 +110,9 @@ class _Stats:
         return self
 
 
-def _segment_stats(hyp: str, ref: str) -> _Stats:
+def _segment_stats(hyp: str, ref: str, stem_weight: float = W_STEM) -> _Stats:
     h, r = hyp.split(), ref.split()
-    matches, chunks = _align(h, r)
+    matches, chunks = _align(h, r, stem_weight)
     w = sum(m[2] for m in matches)
     return _Stats(w_h=w, w_r=w, m=len(matches), chunks=chunks,
                   len_h=len(h), len_r=len(r))

@@ -41,6 +41,23 @@ def res_from_dict(pd_vid_caption_dict: Dict[str, List[str]]
             for vid, caps in pd_vid_caption_dict.items()}
 
 
+_meteor_warned = False
+
+
+def _warn_meteor_once():
+    """One-time notice: METEOR here is the pure-Python 2007-formulation
+    scorer, not the meteor-1.5 jar — values are not comparable to jar-based
+    published numbers (metrics/meteor.py docstring for details)."""
+    global _meteor_warned
+    if not _meteor_warned:
+        _meteor_warned = True
+        import sys
+        print("[recnet_tpu] note: METEOR is a pure-Python 2007-formulation "
+              "scorer (no WordNet/paraphrase modules); do not compare it "
+              "against meteor-1.5.jar-based published numbers.",
+              file=sys.stderr)
+
+
 class CaptionScorer:
     """evaluate() → dict {metric: corpus score}; imgToEval per-image detail."""
 
@@ -64,6 +81,7 @@ class CaptionScorer:
         gts = tok.tokenize(gts)
         res = tok.tokenize(res)
 
+        _warn_meteor_once()
         scorers = [
             (Bleu(4), ["Bleu_1", "Bleu_2", "Bleu_3", "Bleu_4"]),
             (Meteor(), "METEOR"),

@@ -1,11 +1,27 @@
 """Classic Porter stemmer — pure Python, for METEOR's stem-match module.
 
-Self-contained implementation of M.F. Porter's 1980 algorithm (the METEOR 1.5
-jar uses Snowball/Porter2; the differences affect a handful of rare suffixes
-and are documented as an accepted delta in metrics/meteor.py).
+Self-contained implementation of M.F. Porter's 1980 algorithm with two
+Snowball-endorsed amendments that matter for caption text (the METEOR 1.5
+jar uses Snowball/Porter2):
+
+* step 1c uses Snowball's rule — ``y -> i`` when preceded by a consonant
+  that is not the word's first letter — so "flies"/"flying"/"cry" all stem
+  to "fli"/"fli"/"cri" as Snowball (and NLTK's extended Porter) produce,
+  instead of the original's vowel-in-stem condition which leaves
+  "fly" ≠ "fli";
+* Snowball's small exceptional-form pool (skis/skies/dying/... and the
+  invariants sky/news/...).
+
+Remaining differences vs Snowball affect a handful of rare suffixes and are
+documented as an accepted delta in metrics/meteor.py.
 """
 
 from __future__ import annotations
+
+_EXCEPTIONS = {"skis": "ski", "skies": "sky", "dying": "die",
+               "lying": "lie", "tying": "tie"}
+_INVARIANT = frozenset(
+    {"sky", "news", "howe", "atlas", "cosmos", "bias", "andes"})
 
 
 def _is_cons(word: str, i: int) -> bool:
@@ -51,12 +67,17 @@ def porter_stem(word: str) -> str:
     if len(word) <= 2:
         return word
     w = word.lower()
+    if w in _INVARIANT:
+        return w
+    if w in _EXCEPTIONS:
+        return _EXCEPTIONS[w]
 
-    # Step 1a
+    # Step 1a (with Snowball's short-word amendment: "ies"/"ied" -> "ie"
+    # when preceded by a single letter — "ties" -> "tie", "died" -> "die")
     if w.endswith("sses"):
         w = w[:-2]
-    elif w.endswith("ies"):
-        w = w[:-2]
+    elif w.endswith(("ies", "ied")):
+        w = w[:-3] + ("ie" if len(w) == 4 else "i")
     elif w.endswith("ss"):
         pass
     elif w.endswith("s"):
@@ -83,8 +104,9 @@ def porter_stem(word: str) -> str:
         elif _measure(w) == 1 and _cvc(w):
             w += "e"
 
-    # Step 1c
-    if w.endswith("y") and _has_vowel(w[:-1]):
+    # Step 1c (Snowball rule): y -> i when preceded by a consonant that is
+    # not the first letter ("cry" -> "cri", "fly" -> "fli", "say" -> "say")
+    if w.endswith("y") and len(w) > 2 and w[-2] not in "aeiou":
         w = w[:-1] + "i"
 
     # Step 2

@@ -6,9 +6,19 @@ Replaces the reference's subprocess call into Stanford CoreNLP's PTBTokenizer
 used with ``-preserveLines -lowerCase``, followed by removal of the same
 punctuation list (ptbtokenizer.py:21-22).
 
-Known deltas vs the Stanford jar (documented; immaterial for the caption
-domain where text is lowercase alphanumeric): rare unicode normalizations and
-abbreviation-specific period handling.
+Accuracy evidence (tests/test_metrics.py::test_ptb_tokenizer_golden_corpus):
+a 20-sentence golden corpus derived from the Stanford tokenizer's documented
+behavior (contractions, possessives, bracket placeholders incl. the
+-LSB-/-RSB- forms the COCO strip list misses, numeric commas/colons,
+cannot/gonna/wanna, ellipsis, final periods) passes exactly; and on the
+actual caption domain this pipeline feeds (lowercase ascii, punctuation
+already stripped by the corpus transforms) tokenization is verified to be
+the identity, so all four metric inputs match the jar pipeline there
+(test_ptb_tokenizer_clean_caption_domain_is_identity).
+
+Known remaining deltas vs the Stanford jar (documented; outside the caption
+domain): rare unicode normalizations and abbreviation-specific period
+handling (e.g. sentence-final "u.s.").
 """
 
 from __future__ import annotations
@@ -25,7 +35,11 @@ _RULES_1 = [
     (re.compile(r"^\""), r"`` "),                    # leading double quote
     (re.compile(r'([ (\[{<])"'), r"\1 `` "),          # quote after bracket
     (re.compile(r"\.\.\."), r" ... "),
-    (re.compile(r"([,;:@#$%&])"), r" \1 "),
+    # commas/colons stay attached between digits ("1,000", "5:30") as the
+    # Stanford tokenizer keeps them; split everywhere else
+    (re.compile(r"([,:])(?!\d)|(?<!\d)([,:])"),
+     lambda m: f" {m.group(1) or m.group(2)} "),
+    (re.compile(r"([;@#$%&])"), r" \1 "),
     # word-final period (before optional closers + end)
     (re.compile(r'([^\.])(\.)([\]\)}>"\']*)\s*$'), r"\1 \2\3 "),
     (re.compile(r"([?!])"), r" \1 "),
@@ -42,7 +56,10 @@ _RULES_2 = [
     (re.compile(r"\b(gon)(na)\b", re.IGNORECASE), r"\1 \2"),
     (re.compile(r"\b(wan)(na)\b", re.IGNORECASE), r"\1 \2"),
 ]
-_BRACKETS = {"(": "-LRB-", ")": "-RRB-", "[": "-LRB-", "]": "-RRB-",
+# Stanford's bracket placeholders: note [ ] map to -LSB-/-RSB-, which the
+# COCO PUNCTUATIONS list does NOT contain — the jar pipeline keeps them,
+# so we must too (ptbtokenizer.py:21-22).
+_BRACKETS = {"(": "-LRB-", ")": "-RRB-", "[": "-LSB-", "]": "-RSB-",
              "{": "-LCB-", "}": "-RCB-"}
 
 

@@ -139,7 +139,7 @@ def test_meteor_best_ref_selected():
 
 def test_porter_stemmer_known_values():
     cases = {
-        "caresses": "caress", "ponies": "poni", "ties": "ti",
+        "caresses": "caress", "ponies": "poni", "ties": "tie",
         "caress": "caress", "cats": "cat", "feed": "feed",
         "agreed": "agre", "plastered": "plaster", "bled": "bled",
         "motoring": "motor", "sing": "sing", "conflated": "conflat",
@@ -147,9 +147,82 @@ def test_porter_stemmer_known_values():
         "falling": "fall", "hissing": "hiss", "fizzed": "fizz",
         "failing": "fail", "filing": "file", "happy": "happi",
         "sky": "sky", "relational": "relat", "rational": "ration",
+        # Snowball-amended behaviors (stemmer.py docstring): step-1c y->i
+        # after a consonant, ies/ied->ie on 4-letter words, exception pool
+        "flies": "fli", "flying": "fli", "fly": "fli", "cry": "cri",
+        "say": "say", "skies": "sky", "dying": "die", "died": "die",
+        "studied": "studi", "toy": "toy",
     }
     for word, stem in cases.items():
         assert porter_stem(word) == stem, (word, porter_stem(word), stem)
+
+
+# --- METEOR accuracy: NLTK cross-check + spec-compliance golden values ---
+
+_NLTK_SUITE = [
+    # caption-like pairs whose maximal alignment is unique (no duplicate-word
+    # ambiguity): our scorer and NLTK's independent 2007-formulation
+    # implementation must agree exactly (both exact+Porter-stem matching,
+    # alpha=.9 beta=3 gamma=.5) once our stem weight is set to NLTK's 1.0
+    ("the cat sat on the mat", "the cat was sitting on the mat"),
+    ("a dog runs through the field", "the dog is running in a field"),
+    ("a woman is slicing an onion", "a woman slices onions in the kitchen"),
+    ("two men are riding bicycles", "two men ride a bicycle down the road"),
+    ("children play soccer in the park", "kids are playing football at a park"),
+    ("a chef cooks pasta", "a chef is cooking some pasta"),
+    ("the bird flies over the water", "a bird flying above water"),
+    ("identical sentence here", "identical sentence here"),
+    ("completely different words", "nothing matches at all"),
+    ("a a a a", "a a"),
+    ("on the mat sat the cat", "the cat sat on the mat"),
+    ("dogs bark loudly", "the dogs barked loudly"),
+]
+
+
+def _nltk_meteor(hyp, ref):
+    pytest.importorskip("nltk")
+    from nltk.translate.meteor_score import single_meteor_score
+
+    class _EmptyWordnet:  # no wordnet corpus in this env; stub out the
+        def synsets(self, word):  # synonym stage -> exact+stem, like ours
+            return []
+
+    return single_meteor_score(ref.split(), hyp.split(),
+                               wordnet=_EmptyWordnet())
+
+
+def test_meteor_matches_nltk_exactly_on_unambiguous_pairs():
+    from recnet_tpu.metrics import meteor as M
+    for hyp, ref in _NLTK_SUITE:
+        ours = M._score_from_stats(M._segment_stats(hyp, ref, stem_weight=1.0))
+        nl = _nltk_meteor(hyp, ref)
+        assert abs(ours - nl) < 1e-9, (hyp, ref, ours, nl)
+
+
+def test_meteor_duplicate_alignment_follows_spec():
+    """On duplicate-word pairs NLTK diverges (it matches the LAST occurrence;
+    the 2007 paper specifies the maximal matching with the FEWEST chunks).
+    Golden values hand-computed from the 2007 formulas with the
+    chunk-minimal alignment."""
+    from recnet_tpu.metrics import meteor as M
+
+    # hyp "a man is playing a guitar" / ref "a man plays the guitar":
+    # m=4 (a,man,playing~plays,guitar), chunk-minimal alignment
+    # hyp(0,1,3,5)->ref(0,1,2,4) gives 3 chunks:
+    # P=4/6 R=4/5 Fmean=.533333/.68  Pen=.5*(3/4)^3  -> 0.618873
+    ours = M._score_from_stats(M._segment_stats(
+        "a man is playing a guitar", "a man plays the guitar",
+        stem_weight=1.0))
+    assert abs(ours - 0.6188725490196078 * (1 - 0.2109375) /
+               (1 - 0.2109375)) < 1e-9  # sanity of literal below
+    assert abs(ours - (0.5333333333333333 / 0.68) * (1 - 0.2109375)) < 1e-9
+
+    # hyp "a man is talking" / ref "a man is talking on a phone":
+    # m=4, one chunk; P=1 R=4/7 -> Fmean=(4/7)/(0.9+0.4/7), Pen=.5*(1/4)^3
+    ours = M._score_from_stats(M._segment_stats(
+        "a man is talking", "a man is talking on a phone", stem_weight=1.0))
+    fmean = (4 / 7) / (0.9 + 0.1 * 4 / 7)
+    assert abs(ours - fmean * (1 - 0.5 * (1 / 4) ** 3)) < 1e-9
 
 
 def test_ptb_tokenizer_basics():
@@ -217,3 +290,58 @@ def test_coco_captions_adapter(tmp_path):
     scorer = CaptionScorer(coco.to_gts(), res.to_gts())
     scores = scorer.evaluate()
     assert scores["Bleu_1"] > 0.3
+
+
+def test_ptb_tokenizer_golden_corpus():
+    """Golden fixtures derived from the Stanford PTBTokenizer's documented
+    behavior with -preserveLines -lowerCase, AFTER the COCO wrapper's
+    punctuation strip (reference ptbtokenizer.py:21-22,27-68): contraction
+    and possessive splitting, bracket placeholders (-LRB-/-RRB- stripped;
+    -LSB-/-RSB- NOT in the strip list), numeric commas/colons kept,
+    cannot/gonna/wanna splitting, ellipsis and final-period stripping."""
+    tok = PTBTokenizer()
+    golden = {
+        "A man is playing a guitar.": "a man is playing a guitar",
+        "Two dogs are running, jumping and barking.":
+            "two dogs are running jumping and barking",
+        "the dog's ball": "the dog 's ball",
+        "don't stop": "do n't stop",
+        "they'll be there": "they 'll be there",
+        "A man can't see": "a man ca n't see",
+        "it's a cat": "it 's a cat",
+        "a state-of-the-art robot": "a state-of-the-art robot",
+        '"hello" he said': "hello he said",
+        "a 1,000 pound pumpkin": "a 1,000 pound pumpkin",
+        "trains at 5:30 and 6, then 7": "trains at 5:30 and 6 then 7",
+        "it costs $5": "it costs $ 5",
+        "a cat (a small one) sits": "a cat a small one sits",
+        "he is gonna run": "he is gon na run",
+        "we cannot stop": "we can not stop",
+        "wait...": "wait",
+        "mr. smith's dog runs.": "mr. smith 's dog runs",
+        "50% of the cake": "50 % of the cake",
+        "i'm happy; you're sad": "i 'm happy you 're sad",
+        "we've been there -- twice": "we 've been there twice",
+    }
+    caps = {str(i): [{"caption": c}] for i, c in enumerate(golden)}
+    out = tok.tokenize(caps)
+    for i, (src, want) in enumerate(golden.items()):
+        got = out[str(i)][0]
+        assert got == want, (src, got, want)
+
+
+def test_ptb_tokenizer_clean_caption_domain_is_identity():
+    """On the actual MSVD caption domain (lowercase ascii words, no
+    punctuation — the corpus pipeline strips punctuation upstream,
+    transforms.py:110-218) PTB tokenization must be a no-op, so metric
+    inputs are identical to the reference jar pipeline there."""
+    import itertools
+    words = ["a", "man", "is", "playing", "dog", "runs", "the", "guitar",
+             "on", "stage", "two", "cats"]
+    rng = np.random.default_rng(0)
+    tok = PTBTokenizer()
+    for _ in range(200):
+        n = int(rng.integers(1, 12))
+        sent = " ".join(rng.choice(words, n))
+        out = tok.tokenize({"x": [{"caption": sent}]})["x"][0]
+        assert out == sent, (sent, out)
