@@ -50,7 +50,10 @@ def bench_decode(results, quick=False):
                 params, dcfg, videos, 30, block_b=128),
         }
         if B <= 2048:
-            paths["beam5"] = lambda: beam_decode(params, dcfg, videos, 5, 30)
+            paths["beam5"] = lambda: beam_decode(
+                params, dcfg, videos, 5, 30, use_pallas_topk=True)
+            paths["beam5_xla"] = lambda: beam_decode(
+                params, dcfg, videos, 5, 30)
         for name, fn in paths.items():
             _fetch(fn().tokens)
             iters = 3 if quick else 5

@@ -12,6 +12,14 @@ Upgrades over the reference's torch.save of a pickled config class
 Format: <dir>/<step>/ {state.npz, config.json, vocab.json, meta.json}.
 state.npz holds the flattened TrainState leaves in tree order plus a
 structure fingerprint that is validated on restore.
+
+Backends: ``backend="npz"`` (default — single-host, dependency-free) or
+``backend="orbax"`` (state stored via orbax.checkpoint under
+<dir>/<step>/state_orbax/; adds async saves via ``async_save=True`` —
+training continues while the write completes — and multi-host coordination
+for sharded TrainStates). Both carry the same config/vocab/meta sidecars and
+the same structure/shape/dtype validation; ``load_checkpoint`` detects the
+format on disk, so the two are interchangeable.
 """
 
 from __future__ import annotations
@@ -31,22 +39,56 @@ def _fingerprint(tree) -> str:
     return hashlib.sha256(str(treedef).encode()).hexdigest()[:16]
 
 
+_async_checkpointer = None
+
+
+def _get_async_checkpointer():
+    global _async_checkpointer
+    if _async_checkpointer is None:
+        import orbax.checkpoint as ocp
+        _async_checkpointer = ocp.AsyncCheckpointer(
+            ocp.StandardCheckpointHandler())
+    return _async_checkpointer
+
+
+def wait_for_async_saves() -> None:
+    """Block until any in-flight orbax async save completes (call before
+    reading a just-written checkpoint or at end of training)."""
+    if _async_checkpointer is not None:
+        _async_checkpointer.wait_until_finished()
+
+
 def save_checkpoint(ckpt_dir: str, step: int, state, tc, vocab,
-                    extra: Optional[dict] = None) -> str:
+                    extra: Optional[dict] = None, backend: str = "npz",
+                    async_save: bool = False) -> str:
     """Write a checkpoint; returns the step directory path."""
     step_dir = os.path.join(ckpt_dir, str(step))
     os.makedirs(step_dir, exist_ok=True)
 
     leaves = jax.tree_util.tree_leaves(state)
-    arrays = {f"leaf_{i}": np.asarray(leaf) for i, leaf in enumerate(leaves)}
-    np.savez(os.path.join(step_dir, "state.npz"), **arrays)
+    if backend == "orbax":
+        import orbax.checkpoint as ocp
+        path = os.path.abspath(os.path.join(step_dir, "state_orbax"))
+        if async_save:
+            _get_async_checkpointer().save(
+                path, args=ocp.args.StandardSave(state), force=True)
+        else:
+            with ocp.Checkpointer(ocp.StandardCheckpointHandler()) as ckptr:
+                ckptr.save(path, args=ocp.args.StandardSave(state),
+                           force=True)
+    elif backend == "npz":
+        arrays = {f"leaf_{i}": np.asarray(leaf)
+                  for i, leaf in enumerate(leaves)}
+        np.savez(os.path.join(step_dir, "state.npz"), **arrays)
+    else:
+        raise ValueError(f"Unknown checkpoint backend: {backend!r}")
 
     with open(os.path.join(step_dir, "config.json"), "w") as f:
         f.write(tc.to_json())
     with open(os.path.join(step_dir, "vocab.json"), "w") as f:
         f.write(vocab.to_json())
     meta = {"step": int(step), "n_leaves": len(leaves),
-            "structure": _fingerprint(state)}
+            "structure": _fingerprint(state), "backend": backend}
     if extra:
         meta.update(extra)
     with open(os.path.join(step_dir, "meta.json"), "w") as f:
@@ -74,13 +116,25 @@ def latest_step(ckpt_dir: str) -> Optional[int]:
 
 def load_checkpoint(step_dir: str, example_state) -> Tuple[Any, dict]:
     """Restore a TrainState shaped like ``example_state``; returns
-    (state, meta). Validates tree structure, shapes and dtypes."""
+    (state, meta). Validates tree structure, shapes and dtypes. Detects the
+    on-disk format (npz or orbax) automatically."""
     with open(os.path.join(step_dir, "meta.json")) as f:
         meta = json.load(f)
     if meta["structure"] != _fingerprint(example_state):
         raise ValueError(
             "Checkpoint tree structure does not match the model; "
             "was it saved with a different config?")
+
+    orbax_path = os.path.join(step_dir, "state_orbax")
+    if os.path.isdir(orbax_path):
+        import orbax.checkpoint as ocp
+        wait_for_async_saves()
+        with ocp.Checkpointer(ocp.StandardCheckpointHandler()) as ckptr:
+            state = ckptr.restore(
+                os.path.abspath(orbax_path),
+                args=ocp.args.StandardRestore(example_state))
+        # StandardRestore enforces shape/dtype against example_state
+        return state, meta
 
     with np.load(os.path.join(step_dir, "state.npz")) as data:
         leaves = [data[f"leaf_{i}"] for i in range(meta["n_leaves"])]

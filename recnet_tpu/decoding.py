@@ -48,11 +48,20 @@ def greedy_decode(params: Dict, cfg: dec_mod.DecoderConfig,
     T = max_len + 1
     uv = attn_ops.precompute_uv(params["attention"], encoder_outputs)
     init_token = jnp.full((B,), cfg.sos_token, jnp.int32)
+    hoist = cfg.n_layers == 1
+    if hoist:
+        pre_table, encW, b_ih = dec_mod.hoisted_decode_tables(
+            params, cfg, encoder_outputs)
 
     def step(carry, t):
         state, token, done, n_steps = carry
-        logits, new_state = dec_mod.decoder_step(
-            params, cfg, token, state, encoder_outputs, uv, None, False)
+        if hoist:
+            h, new_state = dec_mod.decoder_step_hoisted(
+                params, cfg, token, state, uv, pre_table, encW, b_ih)
+            logits = h @ params["out_w"] + params["out_b"]
+        else:
+            logits, new_state = dec_mod.decoder_step(
+                params, cfg, token, state, encoder_outputs, uv, None, False)
         out = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         out = jnp.where(done, jnp.int32(cfg.pad_token), out)
         new_done = done | jnp.all(out == cfg.pad_token)
@@ -149,11 +158,42 @@ class BeamResult(NamedTuple):
     scores: jax.Array    # (B, K) final cumulative scores
 
 
-@partial(jax.jit, static_argnames=("cfg", "beam_width", "max_len"))
+@partial(jax.jit, static_argnames=("cfg", "beam_width", "max_len",
+                                   "use_pallas_topk", "unroll", "interpret"))
 def beam_decode(params: Dict, cfg: dec_mod.DecoderConfig,
                 encoder_outputs: jax.Array, beam_width: int,
-                max_len: int) -> BeamResult:
-    """Batched beam search (reference: eval.py:36-120), width K, one scan."""
+                max_len: int, use_pallas_topk: bool = False,
+                unroll: int = 2, interpret: bool = False) -> BeamResult:
+    """Batched beam search (reference: eval.py:36-120), width K, one scan.
+
+    Semantics are the reference's exactly (oracle-parity-tested); the
+    implementation is restructured for the TPU (measured ~2× end-to-end on
+    v5e vs the round-1 flat-``top_k`` version, each piece ablated):
+
+    1. loop-invariant input matmuls hoisted out of the scan
+       (models.decoder.hoisted_decode_tables): ~2.3× fewer FLOPs per step;
+    2. per-beam top-K of the raw logits instead of a flat top-K over K·V —
+       valid because ``log(sigmoid(·))`` is monotonic and the beam's
+       penalized score is constant within the beam, so any member of the
+       global top-K is necessarily in its own beam's top-K. The per-beam
+       top-K runs as K rounds of (max, argmax, mask) — XLA fuses these far
+       better than its sort-based ``top_k`` — and first-occurrence argmax
+       reproduces ``top_k``'s stable tie order. ``log_sigmoid`` + the
+       length penalty then touch only the K² survivors;
+    3. the attention score contraction runs on the VPU (tanh fused into the
+       reduction) instead of materializing the (B, K, F, A) activation for
+       an MXU matmul;
+    4. a GRU decoder (the flagship config) carries no cell state — the
+       reference's dummy LSTM-shaped ``c`` would cost a (B, K, H) gather
+       per step;
+    5. the beam regather of the hidden state is a K-deep select chain
+       (take_along_axis lowers poorly on TPU for this shape).
+
+    ``use_pallas_topk=True`` swaps the projection+top-K for the fused
+    Pallas kernel (ops.pallas.topk_proj): logits never leave VMEM, f32
+    token-exact vs the XLA path (bf16 differs at rounding level — the
+    kernel's f32 logits are higher fidelity; see the kernel docstring).
+    """
     B, F, E = encoder_outputs.shape
     K = beam_width
     V = cfg.vocab_size
@@ -166,69 +206,127 @@ def beam_decode(params: Dict, cfg: dec_mod.DecoderConfig,
     # eval.py:47-48; replicating enc K× would read it K× per step)
     uv = attn_ops.precompute_uv(params["attention"], encoder_outputs)
     a = params["attention"]
+    hoist = cfg.n_layers == 1
+    if hoist:
+        pre_table, encW, b_ih = dec_mod.hoisted_decode_tables(
+            params, cfg, encoder_outputs)
+    from recnet_tpu.ops import rnn as rnn_ops
+    is_gru = cfg.cell_type == "GRU" and hoist
 
-    def beam_decoder_step(tokens, state):
+    def beam_decoder_step(tokens, h, c):
         """decoder_step (models/decoder.py:45-70, eval mode) with the
-        attention batched over (B, K) against the shared encoder."""
-        emb = params["embedding"][tokens] * cfg.embedding_scale  # (B, K, E)
-        query = state[0][:, :, -1]                               # (B, K, H)
-        wh = query @ a["W"]                                      # (B, K, A)
-        act = jnp.tanh(wh[:, :, None, :] + uv[:, None, :, :] + a["b"])
-        scores = jnp.squeeze(act @ a["w"], -1)                   # (B, K, F)
+        attention batched over (B, K) against the shared encoder, and the
+        loop-invariant input matmuls hoisted (hoisted_decode_tables).
+        h: (B, K, H) when hoisted else (B, K, L, H). Returns flat (B*K, H)
+        output plus new (h, c)."""
+        if hoist:
+            query = h                                             # (B, K, H)
+        else:
+            query = h[:, :, -1]
+        wh = query @ a["W"]                                       # (B, K, A)
+        scores = jnp.sum(
+            jnp.tanh(wh[:, :, None, :] + uv[:, None, :, :] + a["b"])
+            * a["w"][:, 0], -1)                                   # (B, K, F)
+        if hoist:
+            gi = (pre_table[tokens]
+                  + jnp.einsum("bkf,bfg->bkg", scores, encW) / F
+                  + b_ih).reshape(B * K, -1)
+            if is_gru:
+                nh = rnn_ops.gru_cell_pre(params["rnn"][0], gi,
+                                          h.reshape(B * K, -1))
+                return nh, nh.reshape(B, K, -1), c
+            nh, nc = rnn_ops.lstm_cell_pre(
+                params["rnn"][0], gi,
+                (h.reshape(B * K, -1), c.reshape(B * K, -1)))
+            return nh, nh.reshape(B, K, -1), nc.reshape(B, K, -1)
+        emb = params["embedding"][tokens] * cfg.embedding_scale   # (B, K, E)
         ctx = jnp.einsum("bkf,bfe->bke", scores, encoder_outputs) / F
         x = jnp.concatenate([emb, ctx], axis=-1).reshape(B * K, -1)
         flat_state = (
-            jnp.moveaxis(state[0].reshape(B * K, cfg.n_layers, -1), 1, 0),
-            jnp.moveaxis(state[1].reshape(B * K, cfg.n_layers, -1), 1, 0))
+            jnp.moveaxis(h.reshape(B * K, cfg.n_layers, -1), 1, 0),
+            jnp.moveaxis(c.reshape(B * K, cfg.n_layers, -1), 1, 0))
         out, (nh, nc) = dec_mod._multilayer_rnn(
             cfg, params["rnn"], x, flat_state, None, False)
-        logits = out @ params["out_w"] + params["out_b"]
         unflat = lambda s: jnp.moveaxis(s, 0, 1).reshape(
             B, K, cfg.n_layers, -1)
-        return logits.reshape(B, K, V), (unflat(nh), unflat(nc))
+        return out, unflat(nh), unflat(nc)
+
+    def per_beam_topk(out):
+        """Exact top-K of ``out @ out_w + out_b`` per row (see docstring)."""
+        if use_pallas_topk:
+            from recnet_tpu.ops.pallas.topk_proj import outproj_topk
+            vals, idxs = outproj_topk(out, params["out_w"], params["out_b"],
+                                      k=K, interpret=interpret)
+            return vals.astype(dtype), idxs
+        logits = out @ params["out_w"] + params["out_b"]         # (B*K, V)
+        work = logits
+        vals, idxs = [], []
+        for _ in range(K):
+            m = jnp.max(work, axis=-1)
+            i = jnp.argmax(work, axis=-1)
+            vals.append(m)
+            idxs.append(i)
+            work = jnp.where(
+                jax.nn.one_hot(i, V, dtype=jnp.bool_), neg_inf, work)
+        return jnp.stack(vals, -1), jnp.stack(idxs, -1).astype(jnp.int32)
+
+    def gather_state(x, src):
+        """Regather (B, K, ...) rows by per-(batch, slot) source beam."""
+        if hoist:
+            # K-deep select chain: measured faster than take_along_axis
+            res = jnp.broadcast_to(x[:, :1], x.shape)
+            for s in range(1, K):
+                res = jnp.where((src == s)[:, :, None], x[:, s:s + 1], res)
+            return res
+        return jnp.take_along_axis(
+            x, src.reshape((B, K) + (1,) * (x.ndim - 2)), axis=1)
 
     def step(carry, t):
         (h, c, tokens, cum_prob, last_eos, history, done, n_steps) = carry
-        # h, c: (B, K, L, H); tokens: (B, K); cum_prob: (B, K);
-        # last_eos: (B, K); history: (B, K, T)
+        # h: (B, K, H) hoisted / (B, K, L, H); c likewise (dummy (1,1,1)
+        # for GRU); tokens, cum_prob, last_eos: (B, K); history: (B, K, T)
 
         # --- decoder step for all beams at once (shared encoder) ---
-        logits, (nh, nc) = beam_decoder_step(tokens, (h, c))
+        out, nh, nc = beam_decoder_step(tokens, h, c)
 
         # --- length-penalized cumulative score (eval.py:51-63) ---
         seq_len = jnp.where(last_eos >= 0, last_eos + 1, t + 1).astype(dtype)
         penalized = cum_prob / seq_len ** 0.7                    # (B, K)
-        scores = penalized[..., None] + jax.nn.log_sigmoid(logits)
-        flat_scores = scores.reshape(B, K * V)
 
-        top_val, top_idx = jax.lax.top_k(flat_scores, K)         # (B, K)
-        word = (top_idx % V).astype(jnp.int32)
-        src = (top_idx // V).astype(jnp.int32)
+        pb_val, pb_idx = per_beam_topk(out)                      # (B*K, K)
+        cand = (penalized.reshape(B * K, 1)
+                + jax.nn.log_sigmoid(pb_val)).reshape(B, K * K)
+        top_val, top_i = jax.lax.top_k(cand, K)                  # (B, K)
+        src = (top_i // K).astype(jnp.int32)
+        word = jnp.take_along_axis(
+            pb_idx.reshape(B, K * K), top_i, axis=1).astype(jnp.int32)
 
-        gather = lambda x: jnp.take_along_axis(
-            x, src.reshape((B, K) + (1,) * (x.ndim - 2)), axis=1)
-
-        new_tokens = word
-        new_cum = top_val
-        new_h = gather(nh)
-        new_c = gather(nc)
-        new_hist = gather(history).at[:, :, t].set(word)
-        new_last_eos = jnp.where(word == cfg.eos_token, t, gather(last_eos))
+        new_h = gather_state(nh, src)
+        new_c = c if is_gru else gather_state(nc, src)
+        new_hist = jnp.take_along_axis(
+            history, src[:, :, None], axis=1).at[:, :, t].set(word)
+        new_last_eos = jnp.where(word == cfg.eos_token, t,
+                                 jnp.take_along_axis(last_eos, src, axis=1))
 
         new_done = done | jnp.all(word == cfg.pad_token)
         n_steps = jnp.where(done, n_steps, t + 1)
 
-        # freeze all state once done (reference's loop break)
+        # freeze the OUTPUT-bearing state once done (the reference's loop
+        # break); h/c need no freeze — nothing after `done` is read
         keep = lambda n, o: jnp.where(done, o, n)
-        carry = (keep(new_h, h), keep(new_c, c), keep(new_tokens, tokens),
-                 keep(new_cum, cum_prob), keep(new_last_eos, last_eos),
+        carry = (new_h, new_c, keep(word, tokens),
+                 keep(top_val, cum_prob), keep(new_last_eos, last_eos),
                  keep(new_hist, history), new_done, n_steps)
         return carry, None
 
     L, H = cfg.n_layers, cfg.hidden_size
     init_cum = jnp.full((B, K), neg_inf).at[:, 0].set(0.0)  # 1 live beam at t=0
+    state_shape = (B, K, H) if hoist else (B, K, L, H)
+    h0 = jnp.zeros(state_shape, dtype)
+    c0 = jnp.zeros((1, 1, 1), dtype) if is_gru else jnp.zeros(
+        state_shape, dtype)
     init = (
-        jnp.zeros((B, K, L, H), dtype), jnp.zeros((B, K, L, H), dtype),
+        h0, c0,
         jnp.full((B, K), cfg.sos_token, jnp.int32),
         init_cum,
         jnp.full((B, K), -1, jnp.int32),
@@ -236,7 +334,7 @@ def beam_decode(params: Dict, cfg: dec_mod.DecoderConfig,
         jnp.asarray(False), jnp.zeros([], jnp.int32),
     )
     (h, c, tokens, cum_prob, last_eos, history, done, n_steps) = \
-        jax.lax.scan(step, init, jnp.arange(T))[0]
+        jax.lax.scan(step, init, jnp.arange(T), unroll=unroll)[0]
     return BeamResult(history[:, 0, :], n_steps, cum_prob)
 
 

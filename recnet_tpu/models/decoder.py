@@ -219,6 +219,50 @@ def teacher_forced_rollout_fast(params: Dict, cfg: DecoderConfig,
     return DecoderRollout(logits, hiddens, greedy)
 
 
+def hoisted_decode_tables(params: Dict, cfg: DecoderConfig,
+                          encoder_outputs: jax.Array):
+    """Loop-invariant input-side matmuls of the decode scan, hoisted.
+
+    The RNN input is x = [emb(token), ctx] with ctx = Σ_f score_f·enc_f / F,
+    so the input-side gate term decomposes linearly:
+
+        x @ w_ih + b_ih = (emb·scale @ w_ih[:E])[token]
+                          + Σ_f score_f (enc_f @ w_ih[E:]) / F + b_ih
+
+    Precomputing the two bracketed factors turns the per-step (B, E+enc) x
+    (E+enc, G) matmul — the decode scan's single largest — into a table
+    gather plus a (B, F) x (B, F, G) weighted sum (measured ~1.5× greedy
+    decode on v5e). Eval-path only (embedding dropout would land before the
+    fold otherwise); single-layer decoders (the reference's config.py:66).
+
+    Returns (pre_table (V, G), encW (B, F, G), b_ih (G,)).
+    """
+    assert cfg.n_layers == 1
+    E = cfg.embedding_size
+    w_ih = params["rnn"][0]["w_ih"]
+    pre_table = (params["embedding"] * cfg.embedding_scale) @ w_ih[:E]
+    encW = jnp.einsum("bfe,eg->bfg", encoder_outputs, w_ih[E:])
+    return pre_table, encW, params["rnn"][0]["b_ih"]
+
+
+def decoder_step_hoisted(params: Dict, cfg: DecoderConfig, token: jax.Array,
+                         state, uv: jax.Array, pre_table: jax.Array,
+                         encW: jax.Array, b_ih: jax.Array
+                         ) -> Tuple[jax.Array, Tuple]:
+    """decoder_step (eval mode, 1 layer) using hoisted_decode_tables.
+
+    Returns (output (B, H), new_state) — the vocab projection is left to the
+    caller (beam search replaces it with a fused projection+top-K kernel)."""
+    query = state[0][-1]
+    scores = attn_ops.attention_scores(params["attention"], query, uv)
+    F = encW.shape[1]
+    gi = (pre_table[token]
+          + jnp.einsum("bf,bfg->bg", scores, encW) / F + b_ih)
+    h, c = rnn_ops.rnn_step_pre(cfg.cell_type, params["rnn"][0], gi,
+                                (state[0][0], state[1][0]))
+    return h, (h[None], c[None])
+
+
 def config_from_train(tc, vocab_size: int) -> DecoderConfig:
     """Build a DecoderConfig from a recnet_tpu TrainConfig."""
     return DecoderConfig(

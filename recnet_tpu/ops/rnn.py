@@ -73,6 +73,46 @@ def gru_cell(params: Params, x: jax.Array, h: jax.Array) -> jax.Array:
     return (1.0 - z) * n + z * h
 
 
+def lstm_cell_pre(params: Params, gi: jax.Array,
+                  state: Tuple[jax.Array, jax.Array]
+                  ) -> Tuple[jax.Array, jax.Array]:
+    """LSTM step with the input-side term precomputed:
+    ``gi = x @ w_ih + b_ih``. Lets decode scans hoist the loop-invariant
+    input matmuls (embedding/context projections) out of the scan."""
+    h, c = state
+    gates = gi + h @ params["w_hh"] + params["b_hh"]
+    i, f, g, o = jnp.split(gates, 4, axis=-1)
+    i = jax.nn.sigmoid(i)
+    f = jax.nn.sigmoid(f)
+    g = jnp.tanh(g)
+    o = jax.nn.sigmoid(o)
+    c_new = f * c + i * g
+    h_new = o * jnp.tanh(c_new)
+    return h_new, c_new
+
+
+def gru_cell_pre(params: Params, gi: jax.Array, h: jax.Array) -> jax.Array:
+    """GRU step with ``gi = x @ w_ih + b_ih`` precomputed."""
+    gh = h @ params["w_hh"] + params["b_hh"]
+    i_r, i_z, i_n = jnp.split(gi, 3, axis=-1)
+    h_r, h_z, h_n = jnp.split(gh, 3, axis=-1)
+    r = jax.nn.sigmoid(i_r + h_r)
+    z = jax.nn.sigmoid(i_z + h_z)
+    n = jnp.tanh(i_n + r * h_n)
+    return (1.0 - z) * n + z * h
+
+
+def rnn_step_pre(cell_type: str, params: Params, gi: jax.Array, state):
+    """rnn_step with the input-side gate term precomputed (same carry)."""
+    if cell_type == "LSTM":
+        h, c = lstm_cell_pre(params, gi, state)
+        return (h, c)
+    elif cell_type == "GRU":
+        h = gru_cell_pre(params, gi, state[0])
+        return (h, state[1])
+    raise ValueError(f"Unknown cell type: {cell_type}")
+
+
 def rnn_step(cell_type: str, params: Params, x: jax.Array, state):
     """Uniform interface: state is always a (h, c) tuple; GRU ignores/echoes c.
 

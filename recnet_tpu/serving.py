@@ -49,8 +49,9 @@ class Captioner:
     def _decode(self, videos: jax.Array, beam_width: Optional[int]):
         max_len = self.tc.caption_max_len
         if beam_width:
+            pallas = self.use_pallas and jax.default_backend() != "cpu"
             res = beam_decode(self.params, self.dcfg, videos, beam_width,
-                              max_len)
+                              max_len, use_pallas_topk=pallas)
             return np.asarray(res.tokens)[:, : int(res.n_steps)].T
         if self.use_pallas and jax.default_backend() != "cpu":
             from recnet_tpu.decoding import greedy_decode_whole

@@ -157,3 +157,37 @@ def test_train_loop_without_reconstructor(fixture_root, tmp_path):
     assert int(state.step) == 4
     assert state.rec_params is None
     assert ckpt.latest_step(str(tmp_path / "c")) == 4
+
+
+def test_orbax_backend_roundtrip(fixture_root, tmp_path):
+    """backend='orbax' (sync and async) round-trips the TrainState exactly
+    and loads through the same format-detecting load_checkpoint."""
+    pytest.importorskip("orbax.checkpoint")
+    tc = tiny_train_config(fixture_root, n_iterations=2)
+    corpus = Corpus(tc)
+    state, dcfg, rcfg = init_train_state(
+        jax.random.PRNGKey(0), tc, corpus.vocab.n_vocabs)
+    step_fn = build_train_step(tc, dcfg, rcfg)
+    _, videos, captions = next(iter(corpus.train_batcher))
+    state, _ = step_fn(state, jnp.asarray(videos), jnp.asarray(captions),
+                       jax.random.PRNGKey(1))
+
+    d = ckpt.save_checkpoint(str(tmp_path / "ck"), int(state.step), state,
+                             tc, corpus.vocab, backend="orbax")
+    example, _, _ = init_train_state(
+        jax.random.PRNGKey(7), tc, corpus.vocab.n_vocabs)
+    restored, meta = ckpt.load_checkpoint(d, example)
+    assert meta["backend"] == "orbax"
+    for a, b in zip(jax.tree_util.tree_leaves(state),
+                    jax.tree_util.tree_leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # async save: returns immediately, readable after the barrier
+    d2 = ckpt.save_checkpoint(str(tmp_path / "ck2"), int(state.step), state,
+                              tc, corpus.vocab, backend="orbax",
+                              async_save=True)
+    ckpt.wait_for_async_saves()
+    restored2, _ = ckpt.load_checkpoint(d2, example)
+    for a, b in zip(jax.tree_util.tree_leaves(state),
+                    jax.tree_util.tree_leaves(restored2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -1,0 +1,98 @@
+"""Trajectory-level training parity: the composed JAX train_step vs a torch
+transcription of the reference recipe (train.py:200-273), iterated.
+
+Round-1 tests proved every PIECE matches (forward math, losses, optimizer,
+clip); this proves the COMPOSITION matches: same init, same batches, same
+teacher-forcing (ratio 1.0 — the reference default), dropout off, 150
+iterations — loss trajectories and final parameters must track within f32
+accumulation noise. This is the strongest BLEU-parity evidence available
+without the real MSVD features (VERDICT round 1, item 5).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from recnet_tpu.config import TrainConfig
+from recnet_tpu.training.step import init_train_state, build_train_step
+
+from torch_train_oracle import TorchTrainer
+
+N_ITERS = 150
+B, T_MAX, V = 4, 8, 25
+N_BATCHES = 7  # cycled, so iterations revisit data like the real loader
+
+
+def _tc(use_recon):
+    return TrainConfig(
+        caption_max_len=T_MAX, batch_size=B, embedding_size=12,
+        encoder_output_size=20, encoder_output_len=6,
+        decoder_hidden_size=16, decoder_attn_size=8,
+        reconstructor_hidden_size=20, reconstructor_attn_size=8,
+        use_recon=use_recon, reconstructor_type="global",
+        decoder_model="GRU", reconstructor_model="LSTM",
+        # dropout off so torch/JAX draws can't diverge; TF ratio is the
+        # reference default 1.0 (config.py:71) so no Bernoulli either
+        embedding_dropout=0.0, decoder_dropout=0.0, decoder_out_dropout=0.0,
+        reconstructor_dropout=0.0, reconstructor_decoder_dropout=0.0,
+        decoder_teacher_forcing_ratio=1.0,
+    )
+
+
+def _batches(rng):
+    out = []
+    for _ in range(N_BATCHES):
+        videos = rng.standard_normal((B, 6, 20)).astype(np.float32)
+        caps = np.zeros((T_MAX + 1, B), np.int32)
+        for b in range(B):
+            L = int(rng.integers(3, T_MAX + 1))
+            caps[: L - 1, b] = rng.integers(3, V, L - 1)
+            caps[L - 1, b] = 2
+        out.append((videos, caps))
+    return out
+
+
+@pytest.mark.parametrize("use_recon", [False, True])
+def test_training_trajectory_matches_torch(use_recon):
+    tc = _tc(use_recon)
+    state, dcfg, rcfg = init_train_state(jax.random.PRNGKey(0), tc, V)
+    step = build_train_step(tc, dcfg, rcfg)
+
+    trainer = TorchTrainer(
+        jax.tree_util.tree_map(np.asarray, state.dec_params),
+        (jax.tree_util.tree_map(np.asarray, state.rec_params)
+         if use_recon else None),
+        cell_type="GRU", rec_cell_type="LSTM", caption_max_len=T_MAX,
+        dec_lr=tc.decoder_learning_rate, rec_lr=tc.reconstructor_learning_rate,
+        wd=tc.decoder_weight_decay, grad_clip=tc.gradient_clip)
+
+    batches = _batches(np.random.default_rng(7))
+    key = jax.random.PRNGKey(3)
+    jax_losses, torch_losses = [], []
+    for i in range(N_ITERS):
+        videos, caps = batches[i % N_BATCHES]
+        state, metrics = step(state, jnp.asarray(videos), jnp.asarray(caps),
+                              key)
+        jax_losses.append(float(metrics["loss"]))
+        t_total, _, _ = trainer.step(videos, caps)
+        torch_losses.append(t_total)
+
+    jax_losses = np.asarray(jax_losses)
+    torch_losses = np.asarray(torch_losses)
+    # loss trajectories track within f32 accumulation noise over 150 steps
+    np.testing.assert_allclose(jax_losses, torch_losses, rtol=5e-4,
+                               atol=5e-5)
+    # and training actually progressed (not just two frozen models agreeing):
+    # the loss moved and the parameters moved (at the reference's tiny
+    # lr=1e-5 the loss need not decrease within 150 iterations)
+    assert np.ptp(jax_losses) > 1e-4
+
+    # final decoder parameters agree leaf by leaf
+    torch_dec = trainer.dec_params_jax_layout()
+    jax_dec = jax.tree_util.tree_map(np.asarray, state.dec_params)
+    flat_t, _ = jax.tree_util.tree_flatten(torch_dec)
+    flat_j, _ = jax.tree_util.tree_flatten(jax_dec)
+    for tj, jj in zip(flat_t, flat_j):
+        np.testing.assert_allclose(jj, tj, rtol=2e-3, atol=2e-6)
