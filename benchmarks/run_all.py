@@ -57,11 +57,15 @@ def bench_decode(results, quick=False):
         for name, fn in paths.items():
             _fetch(fn().tokens)
             iters = 3 if quick else 5
-            t0 = time.perf_counter()
-            rs = [fn() for _ in range(iters)]
-            for r in rs:
-                _fetch(r.tokens)
-            dt = (time.perf_counter() - t0) / iters
+            # best-of-3 timing batches: the tunneled dev chip swings run to
+            # run, best-of is the stable statistic (NOTES.md)
+            dt = float("inf")
+            for _ in range(1 if quick else 3):
+                t0 = time.perf_counter()
+                rs = [fn() for _ in range(iters)]
+                for r in rs:
+                    _fetch(r.tokens)
+                dt = min(dt, (time.perf_counter() - t0) / iters)
             results[f"{name}_B{B}"] = {
                 "ms": round(dt * 1000, 1),
                 "captions_per_sec": round(B / dt, 1)}
@@ -76,12 +80,15 @@ def bench_train(results, quick=False):
     from recnet_tpu.config import TrainConfig
     from recnet_tpu.training.step import init_train_state, build_train_step
 
-    configs = [(100, "global")] if quick else [(100, "global"),
-                                               (100, "local"),
-                                               (1024, "global")]
-    for B, recon in configs:
+    configs = [(100, "global", "float32")] if quick else [
+        (100, "global", "float32"),
+        (100, "local", "float32"),
+        (1024, "global", "float32"),
+        (1024, "global", "bfloat16"),
+    ]
+    for B, recon, prec in configs:
         tc = TrainConfig(batch_size=B, use_recon=True,
-                         reconstructor_type=recon)
+                         reconstructor_type=recon, train_precision=prec)
         V = 4188
         state, dcfg, rcfg = init_train_state(jax.random.PRNGKey(0), tc, V)
         step = build_train_step(tc, dcfg, rcfg)
@@ -99,16 +106,19 @@ def bench_train(results, quick=False):
         state, m = step(state, videos, caps, key)
         _ = float(m["loss"])
         iters = 5 if quick else 10
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            state, m = step(state, videos, caps, key)
-        _ = float(m["loss"])
-        dt = (time.perf_counter() - t0) / iters
-        results[f"train_B{B}_{recon}"] = {
+        dt = float("inf")
+        for _ in range(1 if quick else 3):
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                state, m = step(state, videos, caps, key)
+            _ = float(m["loss"])
+            dt = min(dt, (time.perf_counter() - t0) / iters)
+        key = f"train_B{B}_{recon}" + ("_bf16" if prec == "bfloat16" else "")
+        results[key] = {
             "ms_per_step": round(dt * 1000, 1),
             "steps_per_sec": round(1 / dt, 1),
             "samples_per_sec": round(B / dt, 1)}
-        print(f"train B={B} {recon:6s}: {dt*1000:7.1f} ms/step  "
+        print(f"train B={B} {recon:6s} {prec[:4]}: {dt*1000:7.1f} ms/step  "
               f"{1/dt:6.1f} steps/s  {B/dt:9.0f} samples/s")
 
 

@@ -28,6 +28,10 @@ def main(argv=None):
                    help="checkpoint retention (0 = keep all)")
     a.add_argument("--profile_dir", type=str, default=None,
                    help="jax.profiler trace directory (traces iters 10-14)")
+    a.add_argument("--ckpt_backend", choices=["npz", "orbax"], default="npz",
+                   help="checkpoint format (orbax adds async + multi-host)")
+    a.add_argument("--async_ckpt", action="store_true",
+                   help="non-blocking checkpoint saves (orbax backend)")
     args = a.parse_args(argv)
 
     if args.config:
@@ -45,7 +49,8 @@ def main(argv=None):
 
     train(tc, debug=args.debug, loss_only=args.loss_only,
           resume_from=args.resume, use_mesh=use_mesh,
-          profile_dir=args.profile_dir, keep_last_k=args.keep_last_k)
+          profile_dir=args.profile_dir, keep_last_k=args.keep_last_k,
+          ckpt_backend=args.ckpt_backend, async_ckpt=args.async_ckpt)
 
 
 if __name__ == "__main__":

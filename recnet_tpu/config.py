@@ -120,6 +120,11 @@ class TrainConfig:
     reconstructor_use_amsgrad: bool = False
     use_gradient_clip: bool = True
     gradient_clip: float = 50.0
+    # Mixed-precision training (new capability, no reference counterpart):
+    # "float32" = the reference's recipe (default, required for parity);
+    # "bfloat16" = bf16 forward/backward compute with f32 master weights,
+    # optimizer state and loss reductions (ops/losses.py reduces in f32).
+    train_precision: str = "float32"    # ["float32", "bfloat16"]
 
     # Regularizer lambdas (reference: train.py:151,188,225)
     decoder_lambda_reg: float = 0.001

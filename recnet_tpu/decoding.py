@@ -213,6 +213,17 @@ def beam_decode(params: Dict, cfg: dec_mod.DecoderConfig,
     from recnet_tpu.ops import rnn as rnn_ops
     is_gru = cfg.cell_type == "GRU" and hoist
 
+    def compute_scores(query):
+        wh = query @ a["W"]                                       # (B, K, A)
+        return jnp.sum(
+            jnp.tanh(wh[:, :, None, :] + uv[:, None, :, :] + a["b"])
+            * a["w"][:, 0], -1)                                   # (B, K, F)
+
+    def compute_gi(tokens, scores):
+        return (pre_table[tokens]
+                + jnp.einsum("bkf,bfg->bkg", scores, encW) / F
+                + b_ih).reshape(B * K, -1)
+
     def beam_decoder_step(tokens, h, c):
         """decoder_step (models/decoder.py:45-70, eval mode) with the
         attention batched over (B, K) against the shared encoder, and the
@@ -223,14 +234,9 @@ def beam_decode(params: Dict, cfg: dec_mod.DecoderConfig,
             query = h                                             # (B, K, H)
         else:
             query = h[:, :, -1]
-        wh = query @ a["W"]                                       # (B, K, A)
-        scores = jnp.sum(
-            jnp.tanh(wh[:, :, None, :] + uv[:, None, :, :] + a["b"])
-            * a["w"][:, 0], -1)                                   # (B, K, F)
+        scores = compute_scores(query)
         if hoist:
-            gi = (pre_table[tokens]
-                  + jnp.einsum("bkf,bfg->bkg", scores, encW) / F
-                  + b_ih).reshape(B * K, -1)
+            gi = compute_gi(tokens, scores)
             if is_gru:
                 nh = rnn_ops.gru_cell_pre(params["rnn"][0], gi,
                                           h.reshape(B * K, -1))
@@ -288,12 +294,11 @@ def beam_decode(params: Dict, cfg: dec_mod.DecoderConfig,
 
         # --- decoder step for all beams at once (shared encoder) ---
         out, nh, nc = beam_decoder_step(tokens, h, c)
+        pb_val, pb_idx = per_beam_topk(out)                      # (B*K, K)
 
         # --- length-penalized cumulative score (eval.py:51-63) ---
         seq_len = jnp.where(last_eos >= 0, last_eos + 1, t + 1).astype(dtype)
         penalized = cum_prob / seq_len ** 0.7                    # (B, K)
-
-        pb_val, pb_idx = per_beam_topk(out)                      # (B*K, K)
         cand = (penalized.reshape(B * K, 1)
                 + jax.nn.log_sigmoid(pb_val)).reshape(B, K * K)
         top_val, top_i = jax.lax.top_k(cand, K)                  # (B, K)

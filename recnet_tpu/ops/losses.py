@@ -26,6 +26,9 @@ def step_mean_ce(logits: jax.Array, targets: jax.Array, mask: jax.Array):
     the reference's early loop break (train.py:66-67): masks are monotone in t
     (padding is terminal), so broken-out steps all have empty masks.
     """
+    # losses always reduce in f32 (no-op on the f32 parity path; required
+    # for stability under bf16 mixed-precision training)
+    logits = logits.astype(jnp.float32)
     mask = mask.astype(logits.dtype)
     logz = jax.nn.logsumexp(logits, axis=-1)                       # (T, B)
     tgt_logit = jnp.take_along_axis(
@@ -46,5 +49,8 @@ def l2_norm_sum(params) -> jax.Array:
 
 
 def mse(pred: jax.Array, target: jax.Array) -> jax.Array:
-    """Elementwise-mean MSE = torch.nn.MSELoss() (reference: train.py:185)."""
+    """Elementwise-mean MSE = torch.nn.MSELoss() (reference: train.py:185).
+    Reduces in f32 (no-op on the f32 parity path)."""
+    pred = pred.astype(jnp.float32)
+    target = target.astype(jnp.float32)
     return jnp.mean(jnp.square(pred - target))

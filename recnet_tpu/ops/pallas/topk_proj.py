@@ -50,6 +50,7 @@ def _kernel(out_ref, w_ref, b_ref, val_ref, idx_ref,
     v_pad = logits.shape[1]
     neg_inf = jnp.float32(-jnp.inf)
     logits = jnp.where(col < v_real, logits, neg_inf)
+    rev = (v_pad - col).astype(jnp.float32)       # v_pad..1, first = largest
 
     tb = logits.shape[0]
     lane = jax.lax.broadcasted_iota(jnp.int32, (tb, _LANES), 1)
@@ -57,7 +58,13 @@ def _kernel(out_ref, w_ref, b_ref, val_ref, idx_ref,
     idxs_out = jnp.zeros((tb, _LANES), jnp.int32)
     for j in range(k):
         m = jnp.max(logits, axis=1, keepdims=True)                # (TB, 1)
-        i = jnp.argmax(logits, axis=1).astype(jnp.int32)[:, None]  # first hit
+        # first-occurrence index without argmax (whose Mosaic lowering is
+        # slower and f32-only): hits are d >= 0 after subtracting the max
+        # (a scalar-threshold compare — (TB,1)-broadcast FLOAT compares hit
+        # a Mosaic relayout bug); the first hit has the largest v_pad-col.
+        hit = ((logits - m) >= jnp.float32(0.0)).astype(jnp.float32)
+        i = (v_pad - jnp.max(rev * hit, axis=1, keepdims=True)
+             ).astype(jnp.int32)
         vals_out = jnp.where(lane == j, m, vals_out)
         idxs_out = jnp.where(lane == j, i, idxs_out)
         logits = jnp.where(col == i, neg_inf, logits)

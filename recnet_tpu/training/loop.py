@@ -34,7 +34,8 @@ def train(tc: TrainConfig, debug: bool = False, loss_only: bool = False,
           log_dir: Optional[str] = None, save_dir: Optional[str] = None,
           profile_dir: Optional[str] = None,
           profile_window: tuple = (10, 14),
-          keep_last_k: int = 0):
+          keep_last_k: int = 0,
+          ckpt_backend: str = "npz", async_ckpt: bool = False):
     """Run the full training loop. Returns the final TrainState."""
     print(f"MODEL ID: {tc.id}")
     print(f"DEBUG MODE: {'ON' if debug else 'OFF'}")
@@ -140,7 +141,9 @@ def train(tc: TrainConfig, debug: bool = False, loss_only: bool = False,
             _test(tc, corpus, state, dcfg, writer, iteration)
 
         if iteration % tc.save_every == 0:
-            path = ckpt.save_checkpoint(save_dir, iteration, state, tc, vocab)
+            path = ckpt.save_checkpoint(save_dir, iteration, state, tc,
+                                        vocab, backend=ckpt_backend,
+                                        async_save=async_ckpt)
             if keep_last_k:
                 ckpt.prune_old(save_dir, keep_last_k)
             print(f"Saved checkpoint: {path}")
@@ -148,6 +151,7 @@ def train(tc: TrainConfig, debug: bool = False, loss_only: bool = False,
         if iteration >= tc.n_iterations:
             break
 
+    ckpt.wait_for_async_saves()
     if writer:
         writer.close()
     return state

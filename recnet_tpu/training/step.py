@@ -63,11 +63,26 @@ def init_train_state(key: jax.Array, tc: TrainConfig, vocab_size: int
 
 def _forward(dec_params, rec_params, dcfg, rcfg, tc_pad, lambda_recon,
              dec_lambda_reg, rec_lambda_reg, videos, captions,
-             use_tf, rng, train, always_tf: bool = False):
+             use_tf, rng, train, always_tf: bool = False,
+             compute_dtype=None):
     """Joint forward; returns (total, aux).
 
     always_tf=True takes the specialized rollout with the vocab projection
-    hoisted out of the scan (valid when teacher forcing is statically on)."""
+    hoisted out of the scan (valid when teacher forcing is statically on).
+    compute_dtype (e.g. bf16) casts params + activations for the rollouts;
+    the regularizers stay on the master-precision params and the losses
+    reduce in f32 (ops/losses.py)."""
+    # regularizers are about the master parameters' magnitudes
+    dec_reg = dec_lambda_reg * l2_norm_sum(dec_params)
+    rec_reg = (rec_lambda_reg * l2_norm_sum(rec_params)
+               if rec_params is not None else None)
+    if compute_dtype is not None:
+        cast = lambda tree: jax.tree_util.tree_map(
+            lambda x: x.astype(compute_dtype)
+            if jnp.issubdtype(x.dtype, jnp.floating) else x, tree)
+        dec_params = cast(dec_params)
+        rec_params = cast(rec_params) if rec_params is not None else None
+        videos = videos.astype(compute_dtype)
     mask = (captions > tc_pad)                                    # (T, B)
     if rng is not None:
         rng_d, rng_r = jax.random.split(rng)
@@ -81,7 +96,7 @@ def _forward(dec_params, rec_params, dcfg, rcfg, tc_pad, lambda_recon,
         rollout = dec_mod.teacher_forced_rollout(
             dec_params, dcfg, videos, captions, use_tf, rng_d, train)
     ce, n_tok = step_mean_ce(rollout.logits, captions, mask)
-    dec_loss = ce + dec_lambda_reg * l2_norm_sum(dec_params)
+    dec_loss = ce + dec_reg
 
     aux = {"n_tokens": n_tok, "greedy_tokens": rollout.greedy_tokens}
     if rec_params is None:
@@ -94,7 +109,7 @@ def _forward(dec_params, rec_params, dcfg, rcfg, tc_pad, lambda_recon,
     t_eff = jnp.maximum(jnp.sum(step_mask), 1.0)
     rec = rec_mod.recon_loss(rec_params, rcfg, rollout.hiddens, videos,
                              step_mask, t_eff, rng_r, train)
-    rec_loss = rec + rec_lambda_reg * l2_norm_sum(rec_params)
+    rec_loss = rec + rec_reg
     total = dec_loss + lambda_recon * rec_loss
     aux["dec_loss"] = dec_loss
     aux["rec_loss"] = rec_loss
@@ -116,6 +131,8 @@ def build_train_step(tc: TrainConfig, dcfg: dec_mod.DecoderConfig,
     # (train.py:37-38, random.random() <= ratio) is always True, so the
     # fast TF rollout applies unconditionally.
     always_tf = tc.decoder_teacher_forcing_ratio >= 1.0
+    compute_dtype = (jnp.bfloat16 if tc.train_precision == "bfloat16"
+                     else None)
 
     def step_fn(state: TrainState, videos, captions, rng):
         rng_tf, rng_fwd = jax.random.split(jax.random.fold_in(rng, state.step))
@@ -127,7 +144,8 @@ def build_train_step(tc: TrainConfig, dcfg: dec_mod.DecoderConfig,
             return _forward(dec_params, rec_params, dcfg, rcfg, pad,
                             tc.lambda_recon, tc.decoder_lambda_reg,
                             tc.reconstructor_lambda_reg, videos, captions,
-                            use_tf, rng_fwd, train=True, always_tf=always_tf)
+                            use_tf, rng_fwd, train=True, always_tf=always_tf,
+                            compute_dtype=compute_dtype)
 
         if tc.use_recon:
             (total, aux), (dec_g, rec_g) = jax.value_and_grad(
