@@ -36,14 +36,20 @@ class GreedyResult(NamedTuple):
     n_steps: jax.Array   # scalar int32
 
 
-@partial(jax.jit, static_argnames=("cfg", "max_len", "unroll"))
+@partial(jax.jit, static_argnames=("cfg", "max_len", "unroll", "early_exit"))
 def greedy_decode(params: Dict, cfg: dec_mod.DecoderConfig,
                   encoder_outputs: jax.Array, max_len: int,
-                  unroll: int = 1) -> GreedyResult:
+                  unroll: int = 1, early_exit: bool = False) -> GreedyResult:
     """Greedy argmax chain (reference: eval.py:19-33).
 
     ``unroll`` unrolls the decode scan (XLA fuses across steps; ~13% faster
-    at unroll=4 on v5e for the flagship shapes)."""
+    at unroll=4 on v5e for the flagship shapes).
+
+    ``early_exit=True`` uses a ``lax.while_loop`` that stops at the first
+    all-<PAD> step — the reference's actual loop break (eval.py:30). Output
+    identical to the fixed scan (tested); with trained models captions end
+    well before max_len, so serving skips the dead tail steps. The scan is
+    the right choice for fixed-cost benchmarking and maximal pipelining."""
     B = encoder_outputs.shape[0]
     T = max_len + 1
     uv = attn_ops.precompute_uv(params["attention"], encoder_outputs)
@@ -72,6 +78,21 @@ def greedy_decode(params: Dict, cfg: dec_mod.DecoderConfig,
 
     init = (dec_mod.zero_state(cfg, B, encoder_outputs.dtype), init_token,
             jnp.asarray(False), jnp.zeros([], jnp.int32))
+    if early_exit:
+        def cond(carry):
+            t, (_, _, done, _), _ = carry
+            return (t < T) & jnp.logical_not(done)
+
+        def body(carry):
+            t, c, toks = carry
+            c, out = step(c, t)
+            return t + 1, c, toks.at[t].set(out)
+
+        _, (_, _, _, n_steps), tokens = jax.lax.while_loop(
+            cond, body,
+            (jnp.zeros([], jnp.int32), init,
+             jnp.zeros((T, B), jnp.int32)))  # <PAD> tail, like the scan
+        return GreedyResult(tokens, n_steps)
     (_, _, _, n_steps), tokens = jax.lax.scan(step, init, jnp.arange(T),
                                               unroll=unroll)
     return GreedyResult(tokens, n_steps)
@@ -159,11 +180,13 @@ class BeamResult(NamedTuple):
 
 
 @partial(jax.jit, static_argnames=("cfg", "beam_width", "max_len",
-                                   "use_pallas_topk", "unroll", "interpret"))
+                                   "use_pallas_topk", "unroll", "early_exit",
+                                   "interpret"))
 def beam_decode(params: Dict, cfg: dec_mod.DecoderConfig,
                 encoder_outputs: jax.Array, beam_width: int,
                 max_len: int, use_pallas_topk: bool = False,
-                unroll: int = 2, interpret: bool = False) -> BeamResult:
+                unroll: int = 2, early_exit: bool = False,
+                interpret: bool = False) -> BeamResult:
     """Batched beam search (reference: eval.py:36-120), width K, one scan.
 
     Semantics are the reference's exactly (oracle-parity-tested); the
@@ -193,6 +216,11 @@ def beam_decode(params: Dict, cfg: dec_mod.DecoderConfig,
     Pallas kernel (ops.pallas.topk_proj): logits never leave VMEM, f32
     token-exact vs the XLA path (bf16 differs at rounding level — the
     kernel's f32 logits are higher fidelity; see the kernel docstring).
+
+    ``early_exit=True`` replaces the fixed scan with a ``lax.while_loop``
+    stopping at the first all-<PAD> step (the reference's break,
+    eval.py:116-117) — identical output, fewer steps executed when trained
+    captions end before max_len (the common serving case).
     """
     B, F, E = encoder_outputs.shape
     K = beam_width
@@ -338,6 +366,19 @@ def beam_decode(params: Dict, cfg: dec_mod.DecoderConfig,
         jnp.full((B, K, T), cfg.pad_token, jnp.int32),
         jnp.asarray(False), jnp.zeros([], jnp.int32),
     )
+    if early_exit:
+        def cond(carry):
+            t, c = carry
+            return (t < T) & jnp.logical_not(c[6])   # c[6] = done
+
+        def body(carry):
+            t, c = carry
+            c, _ = step(c, t)
+            return t + 1, c
+
+        _, (h, c, tokens, cum_prob, last_eos, history, done, n_steps) = \
+            jax.lax.while_loop(cond, body, (jnp.zeros([], jnp.int32), init))
+        return BeamResult(history[:, 0, :], n_steps, cum_prob)
     (h, c, tokens, cum_prob, last_eos, history, done, n_steps) = \
         jax.lax.scan(step, init, jnp.arange(T), unroll=unroll)[0]
     return BeamResult(history[:, 0, :], n_steps, cum_prob)

@@ -50,6 +50,9 @@ class Captioner:
         max_len = self.tc.caption_max_len
         if beam_width:
             pallas = self.use_pallas and jax.default_backend() != "cpu"
+            # no early_exit for beam: the all-candidates-<PAD> stop rarely
+            # triggers (live beams keep non-PAD words), and the while_loop
+            # costs ~8% over the pipelined scan when it runs to max_len
             res = beam_decode(self.params, self.dcfg, videos, beam_width,
                               max_len, use_pallas_topk=pallas)
             return np.asarray(res.tokens)[:, : int(res.n_steps)].T
@@ -61,7 +64,7 @@ class Captioner:
                 block_b=128 if B % 128 == 0 else B)
         else:
             res = greedy_decode(self.params, self.dcfg, videos, max_len,
-                                unroll=4)
+                                early_exit=True)
         return np.asarray(res.tokens)[: int(res.n_steps)]
 
     def caption(self, features: Sequence[np.ndarray],

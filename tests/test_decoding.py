@@ -196,3 +196,29 @@ def test_sample_decode_top_k_restricts_support():
     n = min(int(g.n_steps), int(s.n_steps))
     np.testing.assert_array_equal(np.asarray(s.tokens)[:n],
                                   np.asarray(g.tokens)[:n])
+
+
+@pytest.mark.parametrize("cell_type", ["LSTM", "GRU"])
+def test_greedy_early_exit_matches_scan(cell_type):
+    """early_exit (while_loop, the reference's actual break) produces
+    identical tokens/n_steps to the fixed scan."""
+    cfg, params, enc = _setup(cell_type, 1)   # peaky -> terminates early
+    a = greedy_decode(params, cfg, jnp.asarray(enc), MAX_LEN)
+    b = greedy_decode(params, cfg, jnp.asarray(enc), MAX_LEN,
+                      early_exit=True)
+    assert int(a.n_steps) == int(b.n_steps)
+    np.testing.assert_array_equal(np.asarray(a.tokens), np.asarray(b.tokens))
+
+
+@pytest.mark.parametrize("cell_type,K", [("GRU", 5), ("LSTM", 3)])
+def test_beam_early_exit_matches_scan(cell_type, K):
+    cfg, params, enc = _setup(cell_type, 2)
+    a = beam_decode(params, cfg, jnp.asarray(enc), K, MAX_LEN)
+    b = beam_decode(params, cfg, jnp.asarray(enc), K, MAX_LEN,
+                    early_exit=True)
+    assert int(a.n_steps) == int(b.n_steps)
+    np.testing.assert_array_equal(np.asarray(a.tokens), np.asarray(b.tokens))
+    # while_loop and scan compile to differently-fused programs; scores
+    # agree to f32 rounding (tokens above are exact)
+    np.testing.assert_allclose(np.asarray(a.scores), np.asarray(b.scores),
+                               rtol=1e-5)
