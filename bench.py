@@ -57,7 +57,8 @@ def main():
                 # must fetch)
                 np.asarray(fn(videos).tokens)
                 n_iters = 5
-                for _attempt in range(2):  # best-of-2: tunnel variance
+                for _attempt in range(4):  # best-of-4: the tunnel swings
+                                           # ~1.7x between phases (NOTES.md)
                     t0 = time.perf_counter()
                     # dispatch all, then fetch: device serializes compute
                     # while D2H overlaps (serving-style pipelining)

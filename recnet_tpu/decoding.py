@@ -29,6 +29,7 @@ import jax.numpy as jnp
 
 from recnet_tpu.models import decoder as dec_mod
 from recnet_tpu.ops import attention as attn_ops
+from recnet_tpu.ops import rnn as rnn_ops
 
 
 class GreedyResult(NamedTuple):
@@ -238,7 +239,6 @@ def beam_decode(params: Dict, cfg: dec_mod.DecoderConfig,
     if hoist:
         pre_table, encW, b_ih = dec_mod.hoisted_decode_tables(
             params, cfg, encoder_outputs)
-    from recnet_tpu.ops import rnn as rnn_ops
     is_gru = cfg.cell_type == "GRU" and hoist
 
     def compute_scores(query):
