@@ -50,8 +50,9 @@ def bench_decode(results, quick=False):
                 params, dcfg, videos, 30, block_b=128),
         }
         if B <= 2048:
-            paths["beam5"] = lambda: beam_decode(
-                params, dcfg, videos, 5, 30, use_pallas_topk=True)
+            on_tpu = jax.default_backend() != "cpu"   # pallas kernel is
+            paths["beam5"] = lambda: beam_decode(     # TPU-only
+                params, dcfg, videos, 5, 30, use_pallas_topk=on_tpu)
             paths["beam5_xla"] = lambda: beam_decode(
                 params, dcfg, videos, 5, 30)
         for name, fn in paths.items():

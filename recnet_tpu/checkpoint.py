@@ -66,6 +66,9 @@ def save_checkpoint(ckpt_dir: str, step: int, state, tc, vocab,
     os.makedirs(step_dir, exist_ok=True)
 
     leaves = jax.tree_util.tree_leaves(state)
+    if async_save and backend != "orbax":
+        raise ValueError(
+            "async_save requires backend='orbax' (npz saves are synchronous)")
     if backend == "orbax":
         import orbax.checkpoint as ocp
         path = os.path.abspath(os.path.join(step_dir, "state_orbax"))

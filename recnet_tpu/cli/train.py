@@ -33,6 +33,9 @@ def main(argv=None):
     a.add_argument("--async_ckpt", action="store_true",
                    help="non-blocking checkpoint saves (orbax backend)")
     args = a.parse_args(argv)
+    if args.async_ckpt and args.ckpt_backend != "orbax":
+        a.error("--async_ckpt requires --ckpt_backend orbax "
+                "(npz saves are synchronous)")
 
     if args.config:
         with open(args.config) as f:

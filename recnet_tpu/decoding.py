@@ -92,8 +92,8 @@ def greedy_decode(params: Dict, cfg: dec_mod.DecoderConfig,
         _, (_, _, _, n_steps), tokens = jax.lax.while_loop(
             cond, body,
             (jnp.zeros([], jnp.int32), init,
-             jnp.zeros((T, B), jnp.int32)))  # <PAD> tail, like the scan
-        return GreedyResult(tokens, n_steps)
+             jnp.full((T, B), cfg.pad_token, jnp.int32)))  # <PAD> tail,
+        return GreedyResult(tokens, n_steps)                # like the scan
     (_, _, _, n_steps), tokens = jax.lax.scan(step, init, jnp.arange(T),
                                               unroll=unroll)
     return GreedyResult(tokens, n_steps)
@@ -203,7 +203,11 @@ def beam_decode(params: Dict, cfg: dec_mod.DecoderConfig,
        top-K runs as K rounds of (max, argmax, mask) — XLA fuses these far
        better than its sort-based ``top_k`` — and first-occurrence argmax
        reproduces ``top_k``'s stable tie order. ``log_sigmoid`` + the
-       length penalty then touch only the K² survivors;
+       length penalty then touch only the K² survivors. Known edge: two
+       DISTINCT logits in one beam saturating to the same ``log_sigmoid``
+       value (requires logits > ~88 where exp(-x) underflows — untrained or
+       pathologically scaled models only) rank by raw logit here where the
+       flat form would tie-break by word index;
     3. the attention score contraction runs on the VPU (tanh fused into the
        reduction) instead of materializing the (B, K, F, A) activation for
        an MXU matmul;

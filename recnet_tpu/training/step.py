@@ -131,6 +131,10 @@ def build_train_step(tc: TrainConfig, dcfg: dec_mod.DecoderConfig,
     # (train.py:37-38, random.random() <= ratio) is always True, so the
     # fast TF rollout applies unconditionally.
     always_tf = tc.decoder_teacher_forcing_ratio >= 1.0
+    if tc.train_precision not in ("float32", "bfloat16"):
+        raise ValueError(
+            f"Unknown train_precision {tc.train_precision!r}; "
+            "expected 'float32' or 'bfloat16'")
     compute_dtype = (jnp.bfloat16 if tc.train_precision == "bfloat16"
                      else None)
 

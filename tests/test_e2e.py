@@ -191,3 +191,13 @@ def test_orbax_backend_roundtrip(fixture_root, tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(state),
                     jax.tree_util.tree_leaves(restored2)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_async_save_requires_orbax(fixture_root, tmp_path):
+    tc = tiny_train_config(fixture_root)
+    corpus = Corpus(tc)
+    state, _, _ = init_train_state(jax.random.PRNGKey(0), tc,
+                                   corpus.vocab.n_vocabs)
+    with pytest.raises(ValueError, match="async_save"):
+        ckpt.save_checkpoint(str(tmp_path / "ck"), 1, state, tc,
+                             corpus.vocab, backend="npz", async_save=True)

@@ -137,3 +137,11 @@ def test_bf16_close_to_f32_early_trajectory(rng):
         losses[prec] = np.asarray(ls)
     np.testing.assert_allclose(losses["bfloat16"], losses["float32"],
                                rtol=0.05)
+
+
+def test_invalid_train_precision_rejected():
+    tc = _tiny_tc(train_precision="bf16")  # common typo for "bfloat16"
+    V = 25
+    state, dcfg, rcfg = init_train_state(jax.random.PRNGKey(0), tc, V)
+    with pytest.raises(ValueError, match="train_precision"):
+        build_train_step(tc, dcfg, rcfg)
