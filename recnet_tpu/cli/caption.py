@@ -25,10 +25,16 @@ def main(argv=None):
     a.add_argument("--batch_size", type=int, default=1024)
     a.add_argument("--dtype", type=str, default="bfloat16",
                    choices=["bfloat16", "float32"])
+    a.add_argument("--mesh", action="store_true",
+                   help="data-parallel serving over all visible devices")
     args = a.parse_args(argv)
 
+    mesh = None
+    if args.mesh:
+        from recnet_tpu.parallel import mesh as mesh_lib
+        mesh = mesh_lib.make_mesh()
     captioner = Captioner.from_checkpoint(
-        args.ckpt, dtype=args.dtype, batch_size=args.batch_size)
+        args.ckpt, dtype=args.dtype, batch_size=args.batch_size, mesh=mesh)
     videos = load_videos_hdf5(args.features)
     vids = list(videos.keys())
     captions = captioner.caption(

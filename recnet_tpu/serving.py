@@ -26,7 +26,14 @@ class Captioner:
     """Batched caption service over pre-extracted video features."""
 
     def __init__(self, tc, vocab, dec_params, *, dtype: str = "bfloat16",
-                 batch_size: int = 1024, use_pallas: bool = False):
+                 batch_size: int = 1024, use_pallas: bool = False,
+                 mesh=None):
+        """``mesh`` (a jax.sharding.Mesh with a 'data' axis, e.g. from
+        parallel.mesh.make_mesh) enables multi-chip data-parallel serving:
+        params replicate, each request chunk is batch-sharded, and GSPMD
+        parallelizes the jitted decode across the mesh — no code change to
+        the decode functions themselves. batch_size must divide by the
+        'data' axis size. (The reference is strictly single-device.)"""
         self.tc = tc
         self.vocab = vocab
         self.dcfg = dec_mod.config_from_train(tc, vocab.n_vocabs)
@@ -37,6 +44,14 @@ class Captioner:
         self.params = jax.tree_util.tree_map(
             lambda x: x.astype(self._dtype) if jnp.issubdtype(
                 x.dtype, jnp.floating) else x, dec_params)
+        self.mesh = mesh
+        if mesh is not None:
+            from recnet_tpu.parallel import mesh as mesh_lib
+            assert batch_size % mesh.shape["data"] == 0, \
+                "batch_size must divide the mesh's 'data' axis"
+            self.params = jax.device_put(
+                self.params, mesh_lib.replicated(mesh))
+            self._video_sharding = mesh_lib.batch_sharding(mesh, 0)
 
     @classmethod
     def from_checkpoint(cls, step_dir: str, **kw) -> "Captioner":
@@ -88,14 +103,22 @@ class Captioner:
             if pad:
                 chunk = np.concatenate([chunk, chunk[-1:].repeat(pad, 0)])
             videos = jnp.asarray(chunk).astype(self._dtype)
+            if self.mesh is not None:
+                videos = jax.device_put(videos, self._video_sharding)
             tokens = self._decode(videos, beam_width)
             sents = tokens_to_sentences(tokens, self.vocab.idx2word, eos)
             out.extend(sents[: len(sents) - pad] if pad else sents)
         return out
 
     def _bucket_size(self, n: int) -> int:
-        """Smallest power-of-two >= n (min 8), capped at batch_size."""
+        """Smallest power-of-two >= n (min 8), capped at batch_size; on a
+        mesh, rounded up to a 'data'-axis multiple so chunks shard evenly
+        (batch_size is asserted divisible, so the cap still holds)."""
         b = 8
         while b < n:
             b *= 2
-        return min(b, self.batch_size)
+        b = min(b, self.batch_size)
+        if self.mesh is not None:
+            d = self.mesh.shape["data"]
+            b = min(-(-b // d) * d, self.batch_size)
+        return b

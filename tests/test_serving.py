@@ -107,3 +107,37 @@ def _state_of(captioner):
                                    captioner.vocab.n_vocabs)
     return state._replace(dec_params=jax.tree_util.tree_map(
         lambda x: x.astype("float32"), captioner.params))
+
+
+def test_caption_on_mesh_matches_single_device(captioner, tmp_path_factory):
+    """Data-parallel serving over an 8-device mesh: same captions as the
+    single-device Captioner (params replicated, chunks batch-sharded,
+    GSPMD parallelizes the jitted decode)."""
+    import jax
+    from recnet_tpu.parallel import mesh as mesh_lib
+    from recnet_tpu import checkpoint as ckpt_mod
+
+    d = ckpt_mod.save_checkpoint(
+        str(tmp_path_factory.mktemp("ck_mesh")), 1, _state_of(captioner),
+        captioner.tc, captioner.vocab)
+    mesh = mesh_lib.make_mesh((("data", 8),))
+    cap_mesh = Captioner.from_checkpoint(d, dtype="float32", batch_size=8,
+                                         mesh=mesh)
+    rng = np.random.default_rng(6)
+    feats = [rng.standard_normal((10, 32)).astype(np.float32)
+             for _ in range(11)]   # crosses a chunk boundary, pads to 8/16
+    got = cap_mesh.caption(feats)
+    want = captioner.caption(feats)
+    assert got == want
+    # beam path over the mesh too
+    got_b = cap_mesh.caption(feats[:5], beam_width=2)
+    want_b = captioner.caption(feats[:5], beam_width=2)
+    assert got_b == want_b
+
+
+def test_mesh_batch_size_must_divide(captioner):
+    from recnet_tpu.parallel import mesh as mesh_lib
+    mesh = mesh_lib.make_mesh((("data", 8),))
+    with pytest.raises(AssertionError, match="data"):
+        Captioner(captioner.tc, captioner.vocab, captioner.params,
+                  dtype="float32", batch_size=6, mesh=mesh)
