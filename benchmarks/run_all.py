@@ -39,7 +39,7 @@ def bench_decode(results, quick=False):
     params = jax.tree_util.tree_map(lambda x: x.astype(jnp.bfloat16), params)
     rng = np.random.default_rng(0)
 
-    batches = (2048,) if quick else (2048, 4096)
+    batches = (2048,) if quick else (2048, 4096, 16384)
     for B in batches:
         videos = jnp.asarray(rng.standard_normal(
             (B, 28, 1536)).astype(np.float32)).astype(jnp.bfloat16)
@@ -47,7 +47,8 @@ def bench_decode(results, quick=False):
             "greedy_xla_unroll4": lambda: greedy_decode(
                 params, dcfg, videos, 30, unroll=4),
             "greedy_pallas_whole": lambda: greedy_decode_whole(
-                params, dcfg, videos, 30, block_b=128),
+                params, dcfg, videos, 30,
+                block_b=256 if B >= 4096 else 128),
         }
         if B <= 2048:
             on_tpu = jax.default_backend() != "cpu"   # pallas kernel is

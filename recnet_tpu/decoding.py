@@ -403,11 +403,20 @@ def sample_decode(params: Dict, cfg: dec_mod.DecoderConfig,
     T = max_len + 1
     uv = attn_ops.precompute_uv(params["attention"], encoder_outputs)
     init_token = jnp.full((B,), cfg.sos_token, jnp.int32)
+    hoist = cfg.n_layers == 1
+    if hoist:
+        pre_table, encW, b_ih = dec_mod.hoisted_decode_tables(
+            params, cfg, encoder_outputs)
 
     def step(carry, t):
         state, token, done, n_steps = carry
-        logits, new_state = dec_mod.decoder_step(
-            params, cfg, token, state, encoder_outputs, uv, None, False)
+        if hoist:
+            h, new_state = dec_mod.decoder_step_hoisted(
+                params, cfg, token, state, uv, pre_table, encW, b_ih)
+            logits = h @ params["out_w"] + params["out_b"]
+        else:
+            logits, new_state = dec_mod.decoder_step(
+                params, cfg, token, state, encoder_outputs, uv, None, False)
         logits = logits / jnp.maximum(temperature, 1e-6)
         if top_k > 0:
             kth = jnp.sort(logits, axis=-1)[:, -top_k][:, None]
