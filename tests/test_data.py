@@ -216,3 +216,11 @@ def test_prefetch_clean_end_still_terminates():
     out = list(prefetch_to_device(gen(), size=2))
     assert len(out) == 3
     assert out[2][0] == ["v2"]
+
+
+def test_eval_config_roundtrip():
+    from recnet_tpu.config import EvalConfig
+    ec = EvalConfig(ckpt_dpath="checkpoints/run/100", beam_width=5)
+    import json
+    ec2 = EvalConfig.from_dict(json.loads(ec.to_json()))
+    assert ec2 == ec

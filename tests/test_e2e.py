@@ -201,3 +201,24 @@ def test_async_save_requires_orbax(fixture_root, tmp_path):
     with pytest.raises(ValueError, match="async_save"):
         ckpt.save_checkpoint(str(tmp_path / "ck"), 1, state, tc,
                              corpus.vocab, backend="npz", async_save=True)
+
+
+def test_nan_failure_detection_saves_emergency_checkpoint(fixture_root,
+                                                          tmp_path):
+    """Non-finite loss aborts training with an emergency checkpoint
+    (failure-detection aux capability, SURVEY §5 — the reference crashes or
+    trains through NaNs silently)."""
+    tc = tiny_train_config(fixture_root, n_iterations=4,
+                           log_every=1, validate_every=100, test_every=100,
+                           save_every=100,
+                           decoder_learning_rate=1e38)  # guaranteed blow-up
+    save_dir = str(tmp_path / "ck")
+    with pytest.raises(FloatingPointError, match="non-finite"):
+        train(tc, loss_only=True, save_dir=save_dir,
+              log_dir=str(tmp_path / "logs"))
+    step = ckpt.latest_step(save_dir)
+    assert step is not None
+    import json
+    with open(os.path.join(save_dir, str(step), "meta.json")) as f:
+        meta = json.load(f)
+    assert meta.get("emergency") is True
