@@ -51,8 +51,22 @@ def split(config: SplitConfig) -> None:
     fin.close()
 
 
-def main():
-    split(SplitConfig())
+def main(argv=None):
+    import argparse
+
+    a = argparse.ArgumentParser(
+        description="Split the corpus HDF5+CSV into train/val/test "
+                    "(reference: python -m scripts.split, seed 42)")
+    a.add_argument("--data_root", type=str, default=None,
+                   help="override SplitConfig.data_root")
+    a.add_argument("--corpus", type=str, default=None)
+    args = a.parse_args(argv)
+    kw = {}
+    if args.data_root:
+        kw["data_root"] = args.data_root
+    if args.corpus:
+        kw["corpus"] = args.corpus
+    split(SplitConfig(**kw))
 
 
 if __name__ == "__main__":

@@ -19,4 +19,17 @@ setup(
         ),
     ],
     python_requires=">=3.10",
+    install_requires=["jax", "optax", "numpy", "h5py", "pandas"],
+    extras_require={
+        "orbax": ["orbax-checkpoint"],     # async/multi-host checkpoints
+        "tensorboard": ["torch"],          # SummaryWriter (JSONL always on)
+    },
+    entry_points={
+        "console_scripts": [
+            "recnet-split = recnet_tpu.cli.split:main",
+            "recnet-train = recnet_tpu.cli.train:main",
+            "recnet-eval = recnet_tpu.cli.eval:main",
+            "recnet-caption = recnet_tpu.cli.caption:main",
+        ],
+    },
 )
