@@ -222,3 +222,18 @@ def test_nan_failure_detection_saves_emergency_checkpoint(fixture_root,
     with open(os.path.join(save_dir, str(step), "meta.json")) as f:
         meta = json.load(f)
     assert meta.get("emergency") is True
+
+
+def test_profile_dir_writes_trace(fixture_root, tmp_path):
+    """--profile_dir captures a jax.profiler trace over the configured
+    iteration window (tracing aux capability, SURVEY §5)."""
+    import glob
+    tc = tiny_train_config(fixture_root, n_iterations=6,
+                           log_every=100, validate_every=100, test_every=100,
+                           save_every=100)
+    prof = str(tmp_path / "trace")
+    train(tc, loss_only=True, profile_dir=prof,
+          profile_window=(2, 4),
+          save_dir=str(tmp_path / "ck"), log_dir=str(tmp_path / "logs"))
+    assert glob.glob(os.path.join(prof, "**", "*.xplane.pb"),
+                     recursive=True), "no xplane trace written"
