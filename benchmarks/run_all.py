@@ -115,8 +115,8 @@ def bench_train(results, quick=False):
                 state, m = step(state, videos, caps, key)
             _ = float(m["loss"])
             dt = min(dt, (time.perf_counter() - t0) / iters)
-        key = f"train_B{B}_{recon}" + ("_bf16" if prec == "bfloat16" else "")
-        results[key] = {
+        row = f"train_B{B}_{recon}" + ("_bf16" if prec == "bfloat16" else "")
+        results[row] = {
             "ms_per_step": round(dt * 1000, 1),
             "steps_per_sec": round(1 / dt, 1),
             "samples_per_sec": round(B / dt, 1)}

@@ -37,6 +37,26 @@ class GreedyResult(NamedTuple):
     n_steps: jax.Array   # scalar int32
 
 
+def _make_step_logits(params, cfg, encoder_outputs, uv):
+    """Shared single-token step for the greedy/sampling scans: returns
+    fn(token, state) -> (logits, new_state), using the hoisted decode
+    tables when the config allows (single layer)."""
+    if cfg.n_layers == 1:
+        pre_table, encW, b_ih = dec_mod.hoisted_decode_tables(
+            params, cfg, encoder_outputs)
+
+        def step_logits(token, state):
+            h, new_state = dec_mod.decoder_step_hoisted(
+                params, cfg, token, state, uv, pre_table, encW, b_ih)
+            return h @ params["out_w"] + params["out_b"], new_state
+        return step_logits
+
+    def step_logits(token, state):
+        return dec_mod.decoder_step(
+            params, cfg, token, state, encoder_outputs, uv, None, False)
+    return step_logits
+
+
 @partial(jax.jit, static_argnames=("cfg", "max_len", "unroll", "early_exit"))
 def greedy_decode(params: Dict, cfg: dec_mod.DecoderConfig,
                   encoder_outputs: jax.Array, max_len: int,
@@ -55,20 +75,11 @@ def greedy_decode(params: Dict, cfg: dec_mod.DecoderConfig,
     T = max_len + 1
     uv = attn_ops.precompute_uv(params["attention"], encoder_outputs)
     init_token = jnp.full((B,), cfg.sos_token, jnp.int32)
-    hoist = cfg.n_layers == 1
-    if hoist:
-        pre_table, encW, b_ih = dec_mod.hoisted_decode_tables(
-            params, cfg, encoder_outputs)
+    step_logits = _make_step_logits(params, cfg, encoder_outputs, uv)
 
     def step(carry, t):
         state, token, done, n_steps = carry
-        if hoist:
-            h, new_state = dec_mod.decoder_step_hoisted(
-                params, cfg, token, state, uv, pre_table, encW, b_ih)
-            logits = h @ params["out_w"] + params["out_b"]
-        else:
-            logits, new_state = dec_mod.decoder_step(
-                params, cfg, token, state, encoder_outputs, uv, None, False)
+        logits, new_state = step_logits(token, state)
         out = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         out = jnp.where(done, jnp.int32(cfg.pad_token), out)
         new_done = done | jnp.all(out == cfg.pad_token)
@@ -403,20 +414,11 @@ def sample_decode(params: Dict, cfg: dec_mod.DecoderConfig,
     T = max_len + 1
     uv = attn_ops.precompute_uv(params["attention"], encoder_outputs)
     init_token = jnp.full((B,), cfg.sos_token, jnp.int32)
-    hoist = cfg.n_layers == 1
-    if hoist:
-        pre_table, encW, b_ih = dec_mod.hoisted_decode_tables(
-            params, cfg, encoder_outputs)
+    step_logits = _make_step_logits(params, cfg, encoder_outputs, uv)
 
     def step(carry, t):
         state, token, done, n_steps = carry
-        if hoist:
-            h, new_state = dec_mod.decoder_step_hoisted(
-                params, cfg, token, state, uv, pre_table, encW, b_ih)
-            logits = h @ params["out_w"] + params["out_b"]
-        else:
-            logits, new_state = dec_mod.decoder_step(
-                params, cfg, token, state, encoder_outputs, uv, None, False)
+        logits, new_state = step_logits(token, state)
         logits = logits / jnp.maximum(temperature, 1e-6)
         if top_k > 0:
             kth = jnp.sort(logits, axis=-1)[:, -top_k][:, None]
