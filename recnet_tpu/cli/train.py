@@ -32,10 +32,28 @@ def main(argv=None):
                    help="checkpoint format (orbax adds async + multi-host)")
     a.add_argument("--async_ckpt", action="store_true",
                    help="non-blocking checkpoint saves (orbax backend)")
+    a.add_argument("--coordinator", type=str, default=None,
+                   help="multi-host: coordinator address host:port "
+                        "(auto-detected on TPU pods; see parallel."
+                        "distributed.initialize)")
+    a.add_argument("--num_processes", type=int, default=None,
+                   help="multi-host: total process count (implies --mesh)")
+    a.add_argument("--process_id", type=int, default=None,
+                   help="multi-host: this process's rank")
+    a.add_argument("--cpu_collectives", type=str, default=None,
+                   help="multi-host on CPU: collective impl (gloo/mpi)")
     args = a.parse_args(argv)
     if args.async_ckpt and args.ckpt_backend != "orbax":
         a.error("--async_ckpt requires --ckpt_backend orbax "
                 "(npz saves are synchronous)")
+
+    if args.num_processes and args.num_processes > 1:
+        # must happen before any other JAX API initializes the backend
+        from recnet_tpu.parallel import distributed as dist
+        dist.initialize(coordinator_address=args.coordinator,
+                        num_processes=args.num_processes,
+                        process_id=args.process_id,
+                        cpu_collectives=args.cpu_collectives)
 
     if args.config:
         with open(args.config) as f:
@@ -43,7 +61,7 @@ def main(argv=None):
     else:
         tc = TrainConfig()
 
-    use_mesh = args.mesh
+    use_mesh = args.mesh or bool(args.num_processes and args.num_processes > 1)
     if args.mesh_shape:
         shape = tuple((kv.split("=")[0], int(kv.split("=")[1]))
                       for kv in args.mesh_shape.split(","))

@@ -77,8 +77,14 @@ def prefetch_to_device(iterator: Iterator, size: int = 2, sharding=None,
     lists) pass through untouched. ``sharding`` may be a single sharding or
     a tuple with one entry per batch element (e.g. videos batch-first,
     captions time-major).
+
+    Multi-host: when the process group has >1 process, sharded leaves go
+    through parallel.distributed.put_global — each process holds the full
+    (identical, seed-reproduced) batch and transfers only its own shards.
     """
     import jax
+
+    multihost = jax.process_count() > 1
 
     q: queue.Queue = queue.Queue(maxsize=size)
     _SENTINEL = object()
@@ -87,6 +93,9 @@ def prefetch_to_device(iterator: Iterator, size: int = 2, sharding=None,
     def put(batch):
         def maybe_put(x, s):
             if isinstance(x, np.ndarray):
+                if s is not None and multihost:
+                    from recnet_tpu.parallel.distributed import put_global
+                    return put_global(x, s)
                 return jax.device_put(x, s) if s is not None \
                     else jax.device_put(x)
             return x
@@ -94,13 +103,25 @@ def prefetch_to_device(iterator: Iterator, size: int = 2, sharding=None,
             return tuple(maybe_put(x, s) for x, s in zip(batch, sharding))
         return tuple(maybe_put(x, sharding) for x in batch)
 
+    stop = threading.Event()
+
     def worker():
         # A producer failure must surface in the consumer, not end the
         # stream quietly (a swallowed I/O error mid-training would make
         # train() return early as if the run had finished).
         try:
             for batch in iterator:
-                q.put(put(batch))
+                if stop.is_set():
+                    return
+                item = put(batch)
+                while not stop.is_set():
+                    try:
+                        q.put(item, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
+                if stop.is_set():
+                    return
         except BaseException as e:  # noqa: BLE001 — re-raised in consumer
             q.put((_ERROR, e))
         else:
@@ -108,10 +129,25 @@ def prefetch_to_device(iterator: Iterator, size: int = 2, sharding=None,
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is _SENTINEL:
-            break
-        if isinstance(item, tuple) and len(item) == 2 and item[0] is _ERROR:
-            raise RuntimeError("prefetch worker failed") from item[1]
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is _SENTINEL:
+                break
+            if isinstance(item, tuple) and len(item) == 2 \
+                    and item[0] is _ERROR:
+                raise RuntimeError("prefetch worker failed") from item[1]
+            yield item
+    finally:
+        # Consumer stopped early (train() hit n_iterations): tell the
+        # worker to quit so no background device transfers race the
+        # interpreter / jax.distributed teardown (a daemon thread mid-
+        # device_put during multi-host shutdown can wedge the exit
+        # barrier), and drain so a blocked put unblocks promptly.
+        stop.set()
+        while True:
+            try:
+                q.get_nowait()
+            except queue.Empty:
+                break
+        t.join(timeout=5)

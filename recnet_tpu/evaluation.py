@@ -18,11 +18,22 @@ from recnet_tpu.metrics import CaptionScorer, gts_from_pairs, res_from_dict
 
 
 def decode_batch(decoder_params, dcfg, videos, search_method, max_len: int,
-                 use_pallas: bool = False):
-    """Returns (n_steps, B) int token array, truncated like the reference."""
+                 use_pallas: bool = False, mesh=None):
+    """Returns (n_steps, B) int token array, truncated like the reference.
+
+    ``mesh`` is set on multi-host runs: the sharded params make decoding a
+    global SPMD program, so the videos are replicated over the mesh (all
+    ranks hold the identical batch) and the token outputs come back
+    replicated — fetchable on every rank."""
     import jax.numpy as jnp
 
-    videos = jnp.asarray(videos)
+    if mesh is not None:
+        from recnet_tpu.parallel import distributed as dist
+        from recnet_tpu.parallel import mesh as mesh_lib
+        videos = dist.put_global(np.asarray(videos),
+                                 mesh_lib.replicated(mesh))
+    else:
+        videos = jnp.asarray(videos)
     if isinstance(search_method, str) and search_method == "greedy":
         import jax
 
@@ -48,7 +59,7 @@ def decode_batch(decoder_params, dcfg, videos, search_method, max_len: int,
 
 def evaluate(tc, corpus, decoder_params, dcfg, search_method,
              predictions_fpath: Optional[str] = "predictions.txt",
-             n_test: Optional[int] = None) -> Dict[str, float]:
+             n_test: Optional[int] = None, mesh=None) -> Dict[str, float]:
     """Full score-set decode + metric pass (reference: eval.py:123-169)."""
     n_test = n_test if n_test is not None else tc.n_test
     eos = corpus.vocab.word2idx["<EOS>"]
@@ -58,7 +69,8 @@ def evaluate(tc, corpus, decoder_params, dcfg, search_method,
     for vids, videos in corpus.score_batcher:
         tokens = decode_batch(decoder_params, dcfg, videos, search_method,
                               tc.caption_max_len,
-                              use_pallas=getattr(tc, "use_pallas", False))
+                              use_pallas=getattr(tc, "use_pallas", False),
+                              mesh=mesh)
         total_vids += list(vids)
         total_pd += tokens_to_sentences(tokens, corpus.vocab.idx2word, eos)
 

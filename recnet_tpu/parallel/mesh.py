@@ -90,6 +90,15 @@ def state_shardings(state: Any, mesh: Mesh) -> Any:
 
 
 def shard_state(state: Any, mesh: Mesh) -> Any:
-    """Place a host/replicated TrainState onto the mesh per the rules."""
+    """Place a host/replicated TrainState onto the mesh per the rules.
+
+    Multi-process: the mesh spans processes, so leaves are assembled as
+    global arrays from each process's (identical, same-seed) local copy —
+    every process uploads only the shards its own devices hold."""
     shardings = state_shardings(state, mesh)
-    return jax.tree_util.tree_map(jax.device_put, state, shardings)
+    if jax.process_count() > 1:
+        from recnet_tpu.parallel.distributed import put_global
+        put = lambda x, s: put_global(np.asarray(x), s)
+    else:
+        put = jax.device_put
+    return jax.tree_util.tree_map(put, state, shardings)

@@ -27,6 +27,7 @@ from recnet_tpu.training.step import (
 from recnet_tpu.utils.logging import MetricWriter
 from recnet_tpu import checkpoint as ckpt
 from recnet_tpu.parallel import mesh as mesh_lib
+from recnet_tpu.parallel import distributed as dist
 
 
 def train(tc: TrainConfig, debug: bool = False, loss_only: bool = False,
@@ -36,17 +37,35 @@ def train(tc: TrainConfig, debug: bool = False, loss_only: bool = False,
           profile_window: tuple = (10, 14),
           keep_last_k: int = 0,
           ckpt_backend: str = "npz", async_ckpt: bool = False):
-    """Run the full training loop. Returns the final TrainState."""
-    print(f"MODEL ID: {tc.id}")
-    print(f"DEBUG MODE: {'ON' if debug else 'OFF'}")
+    """Run the full training loop. Returns the final TrainState.
+
+    Multi-host: when ``jax.distributed`` has been initialized with >1
+    process (parallel.distributed.initialize), every process runs this
+    loop as one SPMD program over the global mesh; host-side side effects
+    (logs, stdout, npz checkpoints, predictions.txt) happen on process 0
+    only. Requires ``use_mesh=True`` — without a shared mesh each process
+    would just train its own copy. Orbax checkpointing is cooperative
+    (all ranks call save); the npz backend fetches on the primary, which
+    requires params to be host-addressable there (true for dp-only
+    meshes; a 'model' axis spanning hosts needs backend="orbax").
+    """
+    multihost = dist.is_multihost()
+    primary = dist.is_primary()
+    if multihost and not use_mesh:
+        raise ValueError(
+            "multi-process training requires use_mesh=True (one global "
+            "mesh); without it each process would train independently")
+    say = print if primary else (lambda *a, **k: None)
+    say(f"MODEL ID: {tc.id}")
+    say(f"DEBUG MODE: {'ON' if debug else 'OFF'}")
 
     log_dir = log_dir or tc.log_dpath
     save_dir = save_dir or tc.save_dpath
-    writer = None if debug else MetricWriter(log_dir)
+    writer = None if (debug or not primary) else MetricWriter(log_dir)
 
     corpus = Corpus(tc)
     vocab = corpus.vocab
-    print("#vocabs: {} ({}), #words: {} ({}). Trim words which appear less "
+    say("#vocabs: {} ({}), #words: {} ({}). Trim words which appear less "
           "than {} times.".format(vocab.n_vocabs, vocab.n_vocabs_untrimmed,
                                   vocab.n_words, vocab.n_words_untrimmed,
                                   tc.min_count))
@@ -55,7 +74,7 @@ def train(tc: TrainConfig, debug: bool = False, loss_only: bool = False,
         jax.random.PRNGKey(tc.seed), tc, vocab.n_vocabs)
     if resume_from:
         state, meta = ckpt.load_checkpoint(resume_from, state)
-        print(f"Resumed from {resume_from} at step {meta['step']}")
+        say(f"Resumed from {resume_from} at step {meta['step']}")
 
     mesh = None
     video_sharding = caption_sharding = None
@@ -68,6 +87,10 @@ def train(tc: TrainConfig, debug: bool = False, loss_only: bool = False,
     train_step = build_train_step(tc, dcfg, rcfg)
     val_step = build_val_step(tc, dcfg, rcfg)
     rng = jax.random.PRNGKey(tc.seed + 1)
+    if multihost:
+        # every jit input must be a global array when the mesh spans
+        # processes; the seed key is identical on all ranks, so replicate
+        rng = dist.put_global(np.asarray(rng), mesh_lib.replicated(mesh))
 
     def device_batches():
         it = cycle(corpus.train_batcher)
@@ -80,8 +103,9 @@ def train(tc: TrainConfig, debug: bool = False, loss_only: bool = False,
     t_start = time.time()
     start_iter = int(state.step)
 
+    batches = device_batches()
     for iteration, (videos, captions) in enumerate(
-            device_batches(), start_iter + 1):
+            batches, start_iter + 1):
         # jax.profiler trace window (new aux capability; SURVEY §5)
         if profile_dir and iteration == profile_window[0]:
             jax.profiler.start_trace(profile_dir)
@@ -104,9 +128,12 @@ def train(tc: TrainConfig, debug: bool = False, loss_only: bool = False,
             # failure detection (new aux capability; the reference has none,
             # SURVEY §5): non-finite loss -> emergency checkpoint + abort
             if not np.isfinite(train_loss):
-                path = ckpt.save_checkpoint(
-                    save_dir, iteration, state, tc, vocab,
-                    extra={"emergency": True, "loss": train_loss})
+                path = None
+                if primary or ckpt_backend == "orbax":
+                    path = ckpt.save_checkpoint(
+                        save_dir, iteration, state, tc, vocab,
+                        backend=ckpt_backend,
+                        extra={"emergency": True, "loss": train_loss})
                 raise FloatingPointError(
                     f"non-finite training loss {train_loss} at iteration "
                     f"{iteration}; emergency checkpoint saved to {path}")
@@ -130,41 +157,64 @@ def train(tc: TrainConfig, debug: bool = False, loss_only: bool = False,
             if tc.use_recon:
                 msg += " (dec {:.5f} + rec {:.5f})".format(train_dec, train_rec)
             msg += " [{:.1f} it/s]".format(steps_sec)
-            print(msg)
+            say(msg)
             train_loss = train_dec = train_rec = 0.0
             t_start = time.time()
 
         if debug or iteration % tc.validate_every == 0:
-            _validate(tc, corpus, state, val_step, writer, iteration)
+            _validate(tc, corpus, state, val_step, writer, iteration,
+                      mesh=mesh if multihost else None, say=say)
 
         if not loss_only and (debug or iteration % tc.test_every == 0):
-            _test(tc, corpus, state, dcfg, writer, iteration)
+            _test(tc, corpus, state, dcfg, writer, iteration,
+                  mesh=mesh if multihost else None, say=say,
+                  primary=primary)
 
         if iteration % tc.save_every == 0:
-            path = ckpt.save_checkpoint(save_dir, iteration, state, tc,
-                                        vocab, backend=ckpt_backend,
-                                        async_save=async_ckpt)
-            if keep_last_k:
-                ckpt.prune_old(save_dir, keep_last_k)
-            print(f"Saved checkpoint: {path}")
+            # orbax saves are cooperative (every rank participates); npz
+            # fetches host-side on the primary only
+            if primary or ckpt_backend == "orbax":
+                path = ckpt.save_checkpoint(save_dir, iteration, state, tc,
+                                            vocab, backend=ckpt_backend,
+                                            async_save=async_ckpt)
+                if keep_last_k and primary:
+                    ckpt.prune_old(save_dir, keep_last_k)
+                say(f"Saved checkpoint: {path}")
 
         if iteration >= tc.n_iterations:
             break
 
+    batches.close()  # stop the prefetch thread's device transfers
     ckpt.wait_for_async_saves()
     if writer:
         writer.close()
+    if multihost:
+        # leave SPMD together: rank 0 trails after host-side work (logs,
+        # npz checkpoint, predictions.txt); without a barrier here the
+        # fast ranks can hit jax.distributed's shutdown-barrier timeout
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices("recnet_tpu_train_end")
     return state
 
 
-def _validate(tc, corpus, state, val_step, writer, iteration):
+def _validate(tc, corpus, state, val_step, writer, iteration, mesh=None,
+              say=print):
+    # mesh is passed only on multi-host runs: the sharded params make the
+    # val step a global SPMD program, so its inputs must be global arrays
+    # too — replicated over the mesh (every rank holds the identical
+    # seed-reproduced batch), making the outputs replicated and fetchable.
+    if mesh is not None:
+        rep = mesh_lib.replicated(mesh)
+        put = lambda x: dist.put_global(np.asarray(x), rep)
+    else:
+        put = jnp.asarray
     val_loss = val_dec = val_rec = 0.0
     gt_captions, pd_captions = [], []
     n_batches = 0
     eos = corpus.vocab.word2idx["<EOS>"]
     for _, videos, captions in corpus.val_batcher:
         m = val_step(state.dec_params, state.rec_params,
-                     jnp.asarray(videos), jnp.asarray(captions))
+                     put(videos), put(captions))
         val_loss += float(m["loss"]) * tc.batch_size
         val_dec += float(m["dec_loss"]) * tc.batch_size
         val_rec += float(m["rec_loss"]) * tc.batch_size
@@ -180,7 +230,7 @@ def _validate(tc, corpus, state, val_step, writer, iteration):
         iteration, tc.n_iterations, iteration / tc.n_iterations * 100, val_loss)
     if tc.use_recon:
         msg += " (dec {:.5f} + rec {:5f})".format(val_dec, val_rec)
-    print(msg)
+    say(msg)
     if writer:
         writer.scalar(tc.tx_val_loss, val_loss, iteration)
         if tc.use_recon:
@@ -192,15 +242,18 @@ def _validate(tc, corpus, state, val_step, writer, iteration):
         writer.text(tc.tx_predicted_captions, caption_log, iteration)
 
 
-def _test(tc, corpus, state, dcfg, writer, iteration):
-    print("[Test] Iter {} / {} ({:.1f}%)".format(
+def _test(tc, corpus, state, dcfg, writer, iteration, mesh=None, say=print,
+          primary=True):
+    say("[Test] Iter {} / {} ({:.1f}%)".format(
         iteration, tc.n_iterations, iteration / tc.n_iterations * 100))
     for search_method in tc.search_methods:
         sm_id = tc.search_method_id(search_method)
-        scores = evaluate(tc, corpus, state.dec_params, dcfg, search_method)
+        scores = evaluate(tc, corpus, state.dec_params, dcfg, search_method,
+                          predictions_fpath="predictions.txt" if primary
+                          else None, mesh=mesh)
         summary = " ".join("{}: {:.3f}".format(s, scores[s])
                            for s in tc.scores if s in scores)
-        print("\t{}: {}".format(sm_id, summary))
+        say("\t{}: {}".format(sm_id, summary))
         if writer:
             for s in tc.scores:
                 if s in scores:

@@ -1,0 +1,92 @@
+"""Multi-host (multi-process) training: a real 2-process CPU 'pod'.
+
+Spawns two fresh interpreters, each with 4 virtual CPU devices, joined via
+jax.distributed (gloo collectives) into one 8-device global mesh — the
+honest analogue of a 2-host TPU pod slice — and runs the FULL training
+loop (loop.train) in SPMD. Asserts:
+
+* both ranks finish and print the same final parameter digest;
+* the digest matches a single-process 8-device run bit-for-bit (the
+  global program is identical; only the host→device feeding differs);
+* host side effects (logs, checkpoints, predictions.txt) happen on the
+  primary rank only.
+
+The reference has no distributed capability at all (SURVEY §2); this
+pins the new capability end-to-end rather than only at the step level
+(test_parallel.py covers single-process mesh numerics).
+"""
+
+import os
+import re
+import socket
+import subprocess
+import sys
+
+import pytest
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+REPO = os.path.dirname(HERE)
+WORKER = os.path.join(HERE, "multihost_worker.py")
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def _run_rank(pid, nproc, port, root, out, mesh, ndev, timeout=600):
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env.pop("JAX_NUM_PROCESSES", None)
+    return subprocess.Popen(
+        [sys.executable, WORKER, str(pid), str(nproc), str(port),
+         root, out, mesh, str(ndev)],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
+
+
+def _digest(stdout: str) -> float:
+    m = re.search(r"DIGEST \d+ ([0-9.]+)", stdout)
+    assert m, f"no DIGEST line in:\n{stdout}"
+    return float(m.group(1))
+
+
+@pytest.mark.parametrize("mesh_shape", ["data=8", "data=4,model=2"])
+def test_two_process_training_matches_single_process(tmp_path, mesh_shape):
+    from fixtures import make_msvd_fixture
+
+    root = str(tmp_path / "fixture")
+    make_msvd_fixture(root, n_videos=12, feat_dim=32)
+
+    # --- single-process 8-device baseline ---
+    base_out = str(tmp_path / "single")
+    p = _run_rank(0, 1, _free_port(), root, base_out, mesh_shape, 8)
+    out0, err0 = p.communicate(timeout=900)
+    assert p.returncode == 0, f"single-process worker failed:\n{err0[-3000:]}"
+    base = _digest(out0)
+
+    # --- two processes x 4 local devices, same global mesh ---
+    port = _free_port()
+    outs = [str(tmp_path / f"rank{i}") for i in range(2)]
+    procs = [_run_rank(i, 2, port, root, outs[i], mesh_shape, 4)
+             for i in range(2)]
+    results = [pr.communicate(timeout=900) for pr in procs]
+    for i, pr in enumerate(procs):
+        assert pr.returncode == 0, \
+            f"rank {i} failed:\n{results[i][1][-3000:]}"
+    d0, d1 = (_digest(results[i][0]) for i in range(2))
+
+    assert d0 == d1, f"ranks disagree: {d0} vs {d1}"
+    assert d0 == pytest.approx(base, abs=0.0), \
+        f"multi-process {d0} != single-process {base}"
+
+    # primary-only side effects
+    assert os.path.isdir(os.path.join(outs[0], "ckpt"))
+    assert os.listdir(os.path.join(outs[0], "ckpt"))
+    assert not os.path.exists(os.path.join(outs[1], "ckpt"))
+    assert os.path.exists(os.path.join(outs[0], "predictions.txt"))
+    assert not os.path.exists(os.path.join(outs[1], "predictions.txt"))
+    # rank 1 stays quiet on stdout (no Iter/loss lines)
+    assert "Iter" not in results[1][0]
