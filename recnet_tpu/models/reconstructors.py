@@ -124,6 +124,36 @@ def global_reconstruct(params: Dict, cfg: ReconstructorConfig,
     else:
         per_step_dd = None
 
+    if cfg.n_layers == 1:
+        # TPU fast path: EVERY step input is known before the scan (the
+        # mean-pool is constant, the per-step decoder hiddens are the
+        # scanned xs, and the per-step dropout masks are key-indexed), so
+        # the input-side gate matmul x@W_ih and the output projection
+        # hoist out of the loop into two (T·B)-row matmuls. Besides the
+        # MXU batching win, this removes the (in, gates) W_ih-gradient
+        # accumulator from the backward scan's carry — measured ~17% of
+        # the whole train step's HBM time at B=100 (DESIGN.md §4c).
+        # Semantics identical to the general path below (same draws:
+        # per_step_dd[t] masks, fold_in(rng, t) is only consumed by
+        # inter-layer dropout, which doesn't exist at one layer).
+        if per_step_dd is not None:
+            mp_all = jax.vmap(
+                lambda k: _dropout(mean_pooled, cfg.decoder_dropout, k,
+                                   train))(per_step_dd)          # (T, B, Hd)
+        else:
+            mp_all = jnp.broadcast_to(mean_pooled[None], (T, B, Hd))
+        x_all = jnp.concatenate([decoder_hiddens[:, 0], mp_all], -1)
+        p0 = params["rnn"][0]
+        gi_all = x_all @ p0["w_ih"] + p0["b_ih"]                 # (T, B, G)
+
+        def step_pre(state, gi_t):
+            new_state = rnn_ops.rnn_step_pre(cfg.cell_type, p0, gi_t, state)
+            return new_state, new_state[0]
+
+        z = jnp.zeros((B, cfg.hidden_size), dtype)
+        _, outs = jax.lax.scan(step_pre, (z, z), gi_all)         # (T, B, hid)
+        return outs @ params["out_w"] + params["out_b"]
+
     def step(state, xs):
         t, h_t = xs
         mp = mean_pooled
