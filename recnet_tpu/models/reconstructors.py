@@ -145,13 +145,10 @@ def global_reconstruct(params: Dict, cfg: ReconstructorConfig,
         x_all = jnp.concatenate([decoder_hiddens[:, 0], mp_all], -1)
         p0 = params["rnn"][0]
         gi_all = x_all @ p0["w_ih"] + p0["b_ih"]                 # (T, B, G)
-
-        def step_pre(state, gi_t):
-            new_state = rnn_ops.rnn_step_pre(cfg.cell_type, p0, gi_t, state)
-            return new_state, new_state[0]
-
         z = jnp.zeros((B, cfg.hidden_size), dtype)
-        _, outs = jax.lax.scan(step_pre, (z, z), gi_all)         # (T, B, hid)
+        # custom-VJP rollout: W_hh's gradient is contracted outside the
+        # backward scan instead of riding its carry (ops/rnn.py)
+        outs = rnn_ops.rnn_rollout_pre(cfg.cell_type, p0, gi_all, z, z)
         return outs @ params["out_w"] + params["out_b"]
 
     def step(state, xs):

@@ -133,3 +133,143 @@ def zero_state(batch_size: int, hidden_size: int, dtype=jnp.float32):
     """Zero-initialized (h, c) carry (reference: train.py:28-35)."""
     z = jnp.zeros((batch_size, hidden_size), dtype)
     return (z, z)
+
+
+# ---------------------------------------------------------------------------
+# Whole-rollout cores with out-of-scan weight gradients.
+#
+# Autodiff of a lax.scan accumulates the recurrent weight gradient in the
+# backward loop's CARRY — for the reconstructor's (1536, 6144) W_hh that is
+# ~38 MB of HBM read+write PER STEP (measured ~2 ms of the B=100 train step,
+# DESIGN.md §4c). These custom-VJP rollouts instead stash the per-step gate
+# activations on the forward pass, run a backward scan whose carry is only
+# (dh, dc) (B, H), and contract dW_hh = h_prevᵀ · dgates as ONE stacked
+# matmul outside the loop. Inputs are precomputed gate terms (gi = x@W_ih +
+# b_ih), so they compose with the input-matmul hoist: the whole recurrence
+# has NO weight-sized tensors in any loop carry, forward or backward.
+# ---------------------------------------------------------------------------
+
+
+@jax.custom_vjp
+def lstm_rollout_pre(w_hh: jax.Array, b_hh: jax.Array, gi_all: jax.Array,
+                     h0: jax.Array, c0: jax.Array) -> jax.Array:
+    """Roll an LSTM over precomputed input gates. gi_all: (T, B, 4H);
+    returns the hidden-state stack (T, B, H)."""
+    return _lstm_rollout_fwd(w_hh, b_hh, gi_all, h0, c0)[0]
+
+
+def _lstm_rollout_fwd(w_hh, b_hh, gi_all, h0, c0):
+    def step(state, gi):
+        h, c = state
+        gates = gi + h @ w_hh + b_hh
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        i = jax.nn.sigmoid(i)
+        f = jax.nn.sigmoid(f)
+        g = jnp.tanh(g)
+        o = jax.nn.sigmoid(o)
+        c_new = f * c + i * g
+        h_new = o * jnp.tanh(c_new)
+        return (h_new, c_new), (h_new, c_new,
+                                jnp.concatenate([i, f, g, o], -1))
+
+    _, (hs, cs, acts) = jax.lax.scan(step, (h0, c0), gi_all)
+    return hs, (w_hh, hs, cs, acts, h0, c0)
+
+
+def _lstm_rollout_bwd(res, dhs):
+    w_hh, hs, cs, acts, h0, c0 = res
+    H = h0.shape[-1]
+    c_prev = jnp.concatenate([c0[None], cs[:-1]], 0)
+
+    def step(carry, xs):
+        dh_next, dc_next = carry
+        dh_out, act, c_t, c_pv = xs
+        i, f, g, o = jnp.split(act, 4, axis=-1)
+        dh = dh_next + dh_out
+        tc = jnp.tanh(c_t)
+        do = dh * tc
+        dc = dc_next + dh * o * (1.0 - tc * tc)
+        di = dc * g
+        dg = dc * i
+        df = dc * c_pv
+        dc_prev = dc * f
+        dgates = jnp.concatenate(
+            [di * i * (1.0 - i), df * f * (1.0 - f),
+             dg * (1.0 - g * g), do * o * (1.0 - o)], -1)
+        dh_prev = dgates @ w_hh.T
+        return (dh_prev, dc_prev), dgates
+
+    zero = jnp.zeros_like(h0)
+    (dh0, dc0), dgates = jax.lax.scan(
+        step, (zero, zero), (dhs, acts, cs, c_prev), reverse=True)
+    h_prev = jnp.concatenate([h0[None], hs[:-1]], 0)
+    dw_hh = jnp.einsum("tbh,tbg->hg", h_prev, dgates)
+    db_hh = dgates.sum((0, 1))
+    return dw_hh, db_hh, dgates, dh0, dc0
+
+
+lstm_rollout_pre.defvjp(_lstm_rollout_fwd, _lstm_rollout_bwd)
+
+
+@jax.custom_vjp
+def gru_rollout_pre(w_hh: jax.Array, b_hh: jax.Array, gi_all: jax.Array,
+                    h0: jax.Array) -> jax.Array:
+    """Roll a GRU over precomputed input gates. gi_all: (T, B, 3H);
+    returns the hidden-state stack (T, B, H)."""
+    return _gru_rollout_fwd(w_hh, b_hh, gi_all, h0)[0]
+
+
+def _gru_rollout_fwd(w_hh, b_hh, gi_all, h0):
+    def step(h, gi):
+        gh = h @ w_hh + b_hh
+        i_r, i_z, i_n = jnp.split(gi, 3, axis=-1)
+        h_r, h_z, h_n = jnp.split(gh, 3, axis=-1)
+        r = jax.nn.sigmoid(i_r + h_r)
+        z = jax.nn.sigmoid(i_z + h_z)
+        n = jnp.tanh(i_n + r * h_n)
+        h_new = (1.0 - z) * n + z * h
+        return h_new, (h_new, jnp.concatenate([r, z, n, h_n], -1))
+
+    _, (hs, acts) = jax.lax.scan(step, h0, gi_all)
+    return hs, (w_hh, hs, acts, h0)
+
+
+def _gru_rollout_bwd(res, dhs):
+    w_hh, hs, acts, h0 = res
+    h_prev = jnp.concatenate([h0[None], hs[:-1]], 0)
+
+    def step(dh_next, xs):
+        dh_out, act, h_pv = xs
+        r, z, n, h_n = jnp.split(act, 4, axis=-1)
+        dh = dh_next + dh_out
+        dz = dh * (h_pv - n)
+        dn = dh * (1.0 - z)
+        dn_pre = dn * (1.0 - n * n)
+        dr = dn_pre * h_n
+        dh_n = dn_pre * r
+        dr_pre = dr * r * (1.0 - r)
+        dz_pre = dz * z * (1.0 - z)
+        dgh = jnp.concatenate([dr_pre, dz_pre, dh_n], -1)
+        dgi = jnp.concatenate([dr_pre, dz_pre, dn_pre], -1)
+        dh_prev = dh * z + dgh @ w_hh.T
+        return dh_prev, (dgi, dgh)
+
+    dh0, (dgi, dgh) = jax.lax.scan(
+        step, jnp.zeros_like(h0), (dhs, acts, h_prev), reverse=True)
+    dw_hh = jnp.einsum("tbh,tbg->hg", h_prev, dgh)
+    db_hh = dgh.sum((0, 1))
+    return dw_hh, db_hh, dgi, dh0
+
+
+gru_rollout_pre.defvjp(_gru_rollout_fwd, _gru_rollout_bwd)
+
+
+def rnn_rollout_pre(cell_type: str, params: Params, gi_all: jax.Array,
+                    h0: jax.Array, c0: jax.Array) -> jax.Array:
+    """Uniform whole-rollout interface over precomputed input gates."""
+    if cell_type == "LSTM":
+        return lstm_rollout_pre(params["w_hh"], params["b_hh"], gi_all,
+                                h0, c0)
+    elif cell_type == "GRU":
+        return gru_rollout_pre(params["w_hh"], params["b_hh"], gi_all, h0)
+    raise ValueError(f"Unknown cell type: {cell_type}")

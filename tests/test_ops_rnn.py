@@ -86,3 +86,49 @@ def test_init_shapes():
     assert p["w_ih"].shape == (10, 21)
     bound = 1.0 / np.sqrt(7)
     assert np.all(np.abs(np.asarray(p["w_ih"])) <= bound)
+
+
+@pytest.mark.parametrize("cell_type", ["LSTM", "GRU"])
+def test_rollout_pre_value_and_grads_match_scan_autodiff(cell_type, rng):
+    """The custom-VJP whole-rollout core (out-of-scan W_hh gradient,
+    ops/rnn.py) must agree with plain autodiff through a lax.scan of the
+    per-step cell — values and ALL gradients (w_hh, b_hh, gi, h0, c0)."""
+    T, B, H = 7, 5, 6
+    key = jax.random.PRNGKey(3)
+    params = rnn.init_rnn_params(key, cell_type, H, H)
+    n_gates = 4 if cell_type == "LSTM" else 3
+    gi = jnp.asarray(rng.standard_normal((T, B, n_gates * H)), jnp.float32)
+    h0 = jnp.asarray(rng.standard_normal((B, H)), jnp.float32)
+    c0 = jnp.asarray(rng.standard_normal((B, H)), jnp.float32)
+    # a non-trivial downstream loss so every step's output gets a cotangent
+    w_loss = jnp.asarray(rng.standard_normal((T, B, H)), jnp.float32)
+
+    def loss_scan(w_hh, b_hh, gi, h0, c0):
+        p = dict(params, w_hh=w_hh, b_hh=b_hh)
+
+        def step(state, gi_t):
+            new_state = rnn.rnn_step_pre(cell_type, p, gi_t, state)
+            return new_state, new_state[0]
+
+        _, hs = jax.lax.scan(step, (h0, c0), gi)
+        return jnp.sum(hs * w_loss), hs
+
+    def loss_core(w_hh, b_hh, gi, h0, c0):
+        p = dict(params, w_hh=w_hh, b_hh=b_hh)
+        hs = rnn.rnn_rollout_pre(cell_type, p, gi, h0, c0)
+        return jnp.sum(hs * w_loss), hs
+
+    args = (params["w_hh"], params["b_hh"], gi, h0, c0)
+    (l1, hs1), g1 = jax.value_and_grad(loss_scan, argnums=(0, 1, 2, 3, 4),
+                                       has_aux=True)(*args)
+    (l2, hs2), g2 = jax.value_and_grad(loss_core, argnums=(0, 1, 2, 3, 4),
+                                       has_aux=True)(*args)
+    np.testing.assert_allclose(np.asarray(hs1), np.asarray(hs2),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+    names = ["w_hh", "b_hh", "gi", "h0", "c0"]
+    for n, a, b in zip(names, g1, g2):
+        if cell_type == "GRU" and n == "c0":
+            continue  # GRU carries no cell state; scan echoes c0 (zero grad)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6, err_msg=n)
