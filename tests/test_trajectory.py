@@ -25,13 +25,14 @@ B, T_MAX, V = 4, 8, 25
 N_BATCHES = 7  # cycled, so iterations revisit data like the real loader
 
 
-def _tc(use_recon):
+def _tc(recon_kind):
     return TrainConfig(
         caption_max_len=T_MAX, batch_size=B, embedding_size=12,
         encoder_output_size=20, encoder_output_len=6,
         decoder_hidden_size=16, decoder_attn_size=8,
         reconstructor_hidden_size=20, reconstructor_attn_size=8,
-        use_recon=use_recon, reconstructor_type="global",
+        use_recon=recon_kind is not None,
+        reconstructor_type=recon_kind or "global",
         decoder_model="GRU", reconstructor_model="LSTM",
         # dropout off so torch/JAX draws can't diverge; TF ratio is the
         # reference default 1.0 (config.py:71) so no Bernoulli either
@@ -54,19 +55,22 @@ def _batches(rng):
     return out
 
 
-@pytest.mark.parametrize("use_recon", [False, True])
-def test_training_trajectory_matches_torch(use_recon):
-    tc = _tc(use_recon)
+# the three README configs: no recon (README.md:77), global (:78),
+# local (:79)
+@pytest.mark.parametrize("recon_kind", [None, "global", "local"])
+def test_training_trajectory_matches_torch(recon_kind):
+    tc = _tc(recon_kind)
     state, dcfg, rcfg = init_train_state(jax.random.PRNGKey(0), tc, V)
     step = build_train_step(tc, dcfg, rcfg)
 
     trainer = TorchTrainer(
         jax.tree_util.tree_map(np.asarray, state.dec_params),
         (jax.tree_util.tree_map(np.asarray, state.rec_params)
-         if use_recon else None),
+         if recon_kind else None),
         cell_type="GRU", rec_cell_type="LSTM", caption_max_len=T_MAX,
         dec_lr=tc.decoder_learning_rate, rec_lr=tc.reconstructor_learning_rate,
-        wd=tc.decoder_weight_decay, grad_clip=tc.gradient_clip)
+        wd=tc.decoder_weight_decay, grad_clip=tc.gradient_clip,
+        rec_kind=recon_kind or "global", n_rec_steps=tc.encoder_output_len)
 
     batches = _batches(np.random.default_rng(7))
     key = jax.random.PRNGKey(3)

@@ -110,6 +110,52 @@ class TorchGlobalRecon(torch.nn.Module):
         return torch.nn.functional.mse_loss(outputs, target) / T_eff
 
 
+class TorchLocalRecon(torch.nn.Module):
+    """Reference LocalReconstructor (local_reconstructor.py:6-55) +
+    train.py:108-131, grad-enabled, dropout off. Loss = plain MSE of the
+    (B, n_steps, Hr) outputs vs the encoder features — NOT divided by the
+    step count (train.py:127-130)."""
+
+    def __init__(self, jax_params, cell_type, n_steps):
+        super().__init__()
+        self.cell_type = cell_type
+        self.n_steps = n_steps
+        a = jax_params["attention"]
+        self.W = torch.nn.Parameter(_t(a["W"]))
+        self.U = torch.nn.Parameter(_t(a["U"]))
+        self.b = torch.nn.Parameter(_t(a["b"]))
+        self.w = torch.nn.Parameter(_t(a["w"]))
+        r = jax_params["rnn"][0]
+        Hr = r["w_hh"].shape[0]
+        self.Hr = Hr
+        cls = torch.nn.LSTM if cell_type == "LSTM" else torch.nn.GRU
+        self.rnn = cls(input_size=r["w_ih"].shape[0], hidden_size=Hr,
+                       num_layers=1)
+        _copy_rnn(self.rnn, r)
+        self.out_w = torch.nn.Parameter(_t(jax_params["out_w"]))
+        self.out_b = torch.nn.Parameter(_t(jax_params["out_b"]))
+
+    def loss(self, decoder_hiddens, enc):
+        dh = decoder_hiddens                       # (T_eff, 1, B, Hd)
+        T_eff, L, B, Hd = dh.shape
+        hidden = (torch.zeros(1, B, self.Hr), torch.zeros(1, B, self.Hr))
+        outputs = []
+        for _ in range(self.n_steps):
+            h_last = hidden[0][-1]                 # (B, Hr)
+            Wh = h_last @ self.W                   # (B, A)
+            Uv = dh @ self.U                       # (T_eff, 1, B, A)
+            betas = torch.tanh(Wh[None, None] + Uv + self.b) @ self.w
+            x = (betas.expand_as(dh) * dh).mean(dim=0)   # (1, B, Hd)
+            if self.cell_type == "LSTM":
+                out, hidden = self.rnn(x, hidden)
+            else:
+                out, h = self.rnn(x, hidden[0])
+                hidden = (h, hidden[1])
+            outputs.append(out[0] @ self.out_w + self.out_b)
+        outputs = torch.stack(outputs).transpose(0, 1)   # (B, n_steps, Hr)
+        return torch.nn.functional.mse_loss(outputs, enc)
+
+
 class TorchTrainer:
     """The reference's joint train iteration (train.py:241-273)."""
 
@@ -117,12 +163,18 @@ class TorchTrainer:
                  rec_cell_type="LSTM", caption_max_len=8,
                  embedding_scale=1.0, dec_lr=1e-5, rec_lr=1e-6,
                  wd=1e-5, grad_clip=50.0, lambda_recon=1.0,
-                 dec_lambda_reg=0.001, rec_lambda_reg=0.01):
+                 dec_lambda_reg=0.001, rec_lambda_reg=0.01,
+                 rec_kind="global", n_rec_steps=None):
         torch.manual_seed(0)
         self.dec = TorchDecoder(dec_params, cell_type, embedding_scale)
-        self.rec = (TorchGlobalRecon(rec_params, rec_cell_type,
-                                     caption_max_len)
-                    if rec_params is not None else None)
+        if rec_params is None:
+            self.rec = None
+        elif rec_kind == "global":
+            self.rec = TorchGlobalRecon(rec_params, rec_cell_type,
+                                        caption_max_len)
+        else:
+            self.rec = TorchLocalRecon(rec_params, rec_cell_type,
+                                       n_rec_steps)
         self.max_len = caption_max_len
         self.grad_clip = grad_clip
         self.lambda_recon = lambda_recon
