@@ -211,12 +211,13 @@ def local_reconstruct(params: Dict, cfg: ReconstructorConfig,
             r, r_dd = jax.random.split(r)
             x = _dropout(x, cfg.decoder_dropout, r_dd, train)
         out, new_state = _multilayer_rnn(cfg, params["rnn"], x, state, r, train)
-        y = out @ params["out_w"] + params["out_b"]
-        return new_state, y
+        return new_state, out
 
     init = _zero_state(cfg, B, dtype)
-    _, outputs = jax.lax.scan(step, init, jnp.arange(cfg.encoder_output_len))
-    return outputs                                               # (F, B, hid)
+    _, outs = jax.lax.scan(step, init, jnp.arange(cfg.encoder_output_len))
+    # output projection hoisted out of the scan: one (F·B)-row matmul, and
+    # out_w's gradient no longer accumulates in the backward carry
+    return outs @ params["out_w"] + params["out_b"]              # (F, B, hid)
 
 
 def local_recon_loss(params: Dict, cfg: ReconstructorConfig,
