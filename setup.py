@@ -30,6 +30,7 @@ setup(
             "recnet-train = recnet_tpu.cli.train:main",
             "recnet-eval = recnet_tpu.cli.eval:main",
             "recnet-caption = recnet_tpu.cli.caption:main",
+            "recnet-serve = recnet_tpu.cli.serve:main",
         ],
     },
 )

@@ -141,3 +141,57 @@ def test_mesh_batch_size_must_divide(captioner):
     with pytest.raises(AssertionError, match="data"):
         Captioner(captioner.tc, captioner.vocab, captioner.params,
                   dtype="float32", batch_size=6, mesh=mesh)
+
+
+def test_http_serve_endpoint(captioner, tmp_path):
+    """cli.serve: /healthz and /caption over real HTTP (stdlib server on a
+    thread), greedy + beam; malformed requests get 400s."""
+    import json
+    import threading
+    import urllib.request
+    import urllib.error
+    from http.server import HTTPServer
+
+    from recnet_tpu.cli.serve import make_handler
+
+    server = HTTPServer(("127.0.0.1", 0),
+                        make_handler(captioner, captioner.tc.id))
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{port}"
+
+    def post(path, payload):
+        req = urllib.request.Request(
+            base + path, data=json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=60) as r:
+            return json.loads(r.read())
+
+    try:
+        with urllib.request.urlopen(base + "/healthz", timeout=30) as r:
+            health = json.loads(r.read())
+        assert health["ok"] and health["model"] == captioner.tc.id
+
+        rng = np.random.default_rng(5)
+        feats = [rng.standard_normal((8, 32)).tolist() for _ in range(3)]
+        out = post("/caption", {"features": feats})
+        assert len(out["captions"]) == 3
+        assert all(isinstance(c, str) for c in out["captions"])
+        # beam path + determinism vs the direct API
+        out_beam = post("/caption", {"features": feats, "beam": 2})
+        direct = captioner.caption(
+            [np.asarray(f, np.float32) for f in feats], beam_width=2)
+        assert out_beam["captions"] == direct
+
+        # malformed: wrong rank and empty list -> 400, server stays up
+        for bad in ({"features": [[1.0, 2.0]]}, {"features": []}):
+            try:
+                post("/caption", bad)
+                assert False, "expected HTTP 400"
+            except urllib.error.HTTPError as e:
+                assert e.code == 400
+        out2 = post("/caption", {"features": feats})
+        assert out2["captions"] == out["captions"]
+    finally:
+        server.shutdown()
