@@ -200,23 +200,177 @@ def teacher_forced_rollout_fast(params: Dict, cfg: DecoderConfig,
     emb_all = params["embedding"][inputs] * cfg.embedding_scale   # (T, B, E)
     emb_all = _dropout(emb_all, cfg.embedding_dropout, r_emb, train)
 
-    def step(state, xs):
-        t, emb_t = xs
-        query = state[0][-1]
-        context = attn_ops.attend_mean(
-            params["attention"], query, encoder_outputs, uv)
-        x = jnp.concatenate([emb_t, context], axis=-1)
-        rr = None if r_rnn is None else jax.random.fold_in(r_rnn, t)
-        _, new_state = _multilayer_rnn(cfg, params["rnn"], x, state, rr, train)
-        return new_state, new_state[0]
+    if cfg.n_layers == 1:
+        # custom-VJP rollout (see _tf_attn_rollout): the embedding-side gate
+        # term hoists out of the scan as one (T·B)-row matmul, the scan body
+        # shrinks to attention + ctx@w_enc + cell, and the backward pass
+        # emits per-step cotangents instead of carrying the w_ih / w_hh /
+        # d(enc) accumulators. At one layer the scan body is deterministic
+        # (no in-scan dropout), so r_rnn is unused, same as the scan below.
+        r0 = params["rnn"][0]
+        E = cfg.embedding_size
+        gi_emb = emb_all @ r0["w_ih"][:E] + r0["b_ih"]            # (T, B, G)
+        hs = _tf_attn_rollout(
+            cfg.cell_type, params["attention"], r0["w_ih"][E:],
+            r0["w_hh"], r0["b_hh"], encoder_outputs, uv, gi_emb)
+        hiddens = hs[:, None]                                     # (T, 1, B, H)
+    else:
+        def step(state, xs):
+            t, emb_t = xs
+            query = state[0][-1]
+            context = attn_ops.attend_mean(
+                params["attention"], query, encoder_outputs, uv)
+            x = jnp.concatenate([emb_t, context], axis=-1)
+            rr = None if r_rnn is None else jax.random.fold_in(r_rnn, t)
+            _, new_state = _multilayer_rnn(cfg, params["rnn"], x, state,
+                                           rr, train)
+            return new_state, new_state[0]
 
-    init = zero_state(cfg, B, encoder_outputs.dtype)
-    _, hiddens = jax.lax.scan(step, init, (jnp.arange(T), emb_all))
+        init = zero_state(cfg, B, encoder_outputs.dtype)
+        _, hiddens = jax.lax.scan(step, init, (jnp.arange(T), emb_all))
 
     logits = hiddens[:, -1] @ params["out_w"] + params["out_b"]  # (T, B, V)
     logits = _dropout(logits, cfg.out_dropout, r_out, train)
     greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
     return DecoderRollout(logits, hiddens, greedy)
+
+
+from functools import partial as _partial
+
+
+@_partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _tf_attn_rollout(cell_type, att, w_enc, w_hh, b_hh, enc, uv, gi_emb):
+    """Teacher-forced decoder recurrence (attention + cell) as one
+    custom-VJP rollout (single layer; train fast path).
+
+    Same construction as reconstructors._local_attn_rollout: the backward
+    scan carries only (dh, dc) + the small attention cotangents, EMITS
+    per-step gate/context cotangents, and contracts the weight gradients —
+    w_enc (the ctx rows of w_ih), w_hh, and d(enc) itself — as stacked
+    matmuls outside the loop. Plain scan-autodiff would carry the
+    (E+enc, G) and (H, G) weight-grad accumulators AND the (B, F, enc)
+    encoder-grad accumulator through all T backward steps.
+
+    gi_emb: (T, B, G) = emb@w_ih[:E] + b_ih (precomputed, differentiable
+    outside); w_enc: (enc, G) = w_ih[E:]. Returns hidden stack (T, B, H).
+    """
+    return _tf_rollout_fwd(cell_type, att, w_enc, w_hh, b_hh, enc, uv,
+                           gi_emb)[0]
+
+
+def _tf_rollout_fwd(cell_type, att, w_enc, w_hh, b_hh, enc, uv, gi_emb):
+    T, B, G = gi_emb.shape
+    H = w_hh.shape[0]
+    F = enc.shape[1]
+    dtype = enc.dtype
+
+    def step(state, gi_emb_t):
+        h, c = state
+        wh = h @ att["W"]                                        # (B, A)
+        act = jnp.tanh(wh[:, None, :] + uv + att["b"])           # (B, F, A)
+        scores = (act @ att["w"])[..., 0]                        # (B, F)
+        ctx = jnp.einsum("bf,bfe->be", scores, enc) / F
+        gi = gi_emb_t + ctx @ w_enc
+        if cell_type == "LSTM":
+            gates = gi + h @ w_hh + b_hh
+            i, f, g, o = jnp.split(gates, 4, axis=-1)
+            i = jax.nn.sigmoid(i)
+            f = jax.nn.sigmoid(f)
+            g = jnp.tanh(g)
+            o = jax.nn.sigmoid(o)
+            c_new = f * c + i * g
+            h_new = o * jnp.tanh(c_new)
+            acts = jnp.concatenate([i, f, g, o], -1)
+        else:
+            gh = h @ w_hh + b_hh
+            i_r, i_z, i_n = jnp.split(gi, 3, axis=-1)
+            h_r, h_z, h_n = jnp.split(gh, 3, axis=-1)
+            r = jax.nn.sigmoid(i_r + h_r)
+            z = jax.nn.sigmoid(i_z + h_z)
+            n = jnp.tanh(i_n + r * h_n)
+            h_new = (1.0 - z) * n + z * h
+            c_new = c
+            acts = jnp.concatenate([r, z, n, h_n], -1)
+        return (h_new, c_new), (h_new, c_new, acts, scores, ctx)
+
+    z0 = jnp.zeros((B, H), dtype)
+    _, (hs, cs, acts, scores, ctxs) = jax.lax.scan(step, (z0, z0), gi_emb)
+    return hs, (att, w_enc, w_hh, enc, uv, hs, cs, acts, scores, ctxs)
+
+
+def _tf_rollout_bwd(cell_type, res, dhs):
+    att, w_enc, w_hh, enc, uv, hs, cs, acts, scores, ctxs = res
+    B, F, E2 = enc.shape
+    H = w_hh.shape[0]
+    dtype = enc.dtype
+    z0 = jnp.zeros((B, H), dtype)
+    h_prev = jnp.concatenate([z0[None], hs[:-1]], 0)
+    c_prev = jnp.concatenate([z0[None], cs[:-1]], 0)
+    w_vec = att["w"][:, 0]
+
+    def step(carry, xs):
+        dh_next, dc_next, d_uv, dW, dw, db = carry
+        dout, act_t, h_pv, c_pv, c_t, scores_t = xs
+        dh = dh_next + dout
+        if cell_type == "LSTM":
+            i, f, g, o = jnp.split(act_t, 4, axis=-1)
+            tc = jnp.tanh(c_t)
+            do = dh * tc
+            dc = dc_next + dh * o * (1.0 - tc * tc)
+            di = dc * g
+            dg = dc * i
+            df = dc * c_pv
+            dc_prev = dc * f
+            dgates = jnp.concatenate(
+                [di * i * (1.0 - i), df * f * (1.0 - f),
+                 dg * (1.0 - g * g), do * o * (1.0 - o)], -1)
+            dgi = dgates
+            dgh = dgates
+            dh_prev = dgates @ w_hh.T
+        else:
+            r, zg, n, h_n = jnp.split(act_t, 4, axis=-1)
+            dz = dh * (h_pv - n)
+            dn = dh * (1.0 - zg)
+            dn_pre = dn * (1.0 - n * n)
+            dr = dn_pre * h_n
+            dh_n = dn_pre * r
+            dr_pre = dr * r * (1.0 - r)
+            dz_pre = dz * zg * (1.0 - zg)
+            dgh = jnp.concatenate([dr_pre, dz_pre, dh_n], -1)
+            dgi = jnp.concatenate([dr_pre, dz_pre, dn_pre], -1)
+            dh_prev = dh * zg + dgh @ w_hh.T
+            dc_prev = dc_next
+        dctx = dgi @ w_enc.T                                     # (B, enc)
+        dscores = jnp.einsum("be,bfe->bf", dctx, enc) / F
+        # attention backward (recompute the activation for this query)
+        wh = h_pv @ att["W"]
+        act = jnp.tanh(wh[:, None, :] + uv + att["b"])
+        d_act = dscores[:, :, None] * w_vec
+        dpre = d_act * (1.0 - act * act)
+        d_uv = d_uv + dpre
+        db = db + dpre.sum((0, 1))
+        dw = dw + jnp.einsum("bfa,bf->a", act, dscores)[:, None]
+        dwh = dpre.sum(1)
+        dW = dW + h_pv.T @ dwh
+        dh_prev = dh_prev + dwh @ att["W"].T
+        return (dh_prev, dc_prev, d_uv, dW, dw, db), (dgi, dgh, dctx)
+
+    init = (z0, z0, jnp.zeros_like(uv), jnp.zeros_like(att["W"]),
+            jnp.zeros_like(att["w"]), jnp.zeros_like(att["b"]))
+    (dh0, dc0, d_uv, dW, dw, db), (dgi, dgh, dctx) = jax.lax.scan(
+        step, init, (dhs, acts, h_prev, c_prev, cs, scores), reverse=True)
+
+    # stacked out-of-scan contractions
+    d_w_enc = jnp.einsum("tbe,tbg->eg", ctxs, dgi)
+    d_w_hh = jnp.einsum("tbh,tbg->hg", h_prev, dgh)
+    d_b_hh = dgh.sum((0, 1))
+    # d(enc) from the context path, one einsum over the emitted cotangents
+    d_enc = jnp.einsum("tbf,tbe->bfe", scores, dctx) / F
+    d_att = {"W": dW, "U": jnp.zeros_like(att["U"]), "b": db, "w": dw}
+    return (d_att, d_w_enc, d_w_hh, d_b_hh, d_enc, d_uv, dgi)
+
+
+_tf_attn_rollout.defvjp(_tf_rollout_fwd, _tf_rollout_bwd)
 
 
 def hoisted_decode_tables(params: Dict, cfg: DecoderConfig,

@@ -186,8 +186,7 @@ def global_recon_loss(params: Dict, cfg: ReconstructorConfig,
 def local_reconstruct(params: Dict, cfg: ReconstructorConfig,
                       decoder_hiddens: jax.Array, step_mask: jax.Array,
                       t_eff: jax.Array, rng: Optional[jax.Array] = None,
-                      train: bool = False,
-                      _force_general: bool = False) -> jax.Array:
+                      train: bool = False) -> jax.Array:
     """Run the local reconstructor for encoder_output_len steps.
 
     decoder_hiddens: (T, L, B, Hdec) with L == 1 (the reference's local path
@@ -203,27 +202,15 @@ def local_reconstruct(params: Dict, cfg: ReconstructorConfig,
     uv = attn_ops.precompute_uv(params["attention"], hs_btv)     # (B, T, A)
     mask_bt = jnp.broadcast_to(step_mask[None, :], (B, T))
 
-    if cfg.n_layers == 1 and not _force_general:
-        # TPU fast path: custom-VJP rollout of the fused attention+cell
-        # step (gradient-exact vs the scan below, tested). The per-step
-        # dropout draws are key-indexed, so the masks precompute outside
-        # the loop with bitwise-identical values to the general path.
-        F = cfg.encoder_output_len
-        if train and cfg.decoder_dropout > 0.0 and rng is not None:
-            keep = 1.0 - cfg.decoder_dropout
-            keys = jnp.stack([
-                jax.random.split(jax.random.fold_in(rng, t))[1]
-                for t in range(F)])
-            bern = jax.vmap(
-                lambda k: jax.random.bernoulli(k, keep, (B, Hd)))(keys)
-            drop = jnp.where(bern, 1.0 / keep, 0.0).astype(dtype)
-        else:
-            drop = jnp.ones((F, B, Hd), dtype)
-        outs = _local_attn_rollout(
-            cfg.cell_type, params["attention"], params["rnn"][0],
-            hs_btv, uv, mask_bt.astype(dtype), jnp.asarray(t_eff, dtype),
-            drop)
-        return outs @ params["out_w"] + params["out_b"]
+    # NOTE (measured, v5e, B=100): a custom-VJP rollout of this fused
+    # attention+cell step (out-of-scan weight-gradient contractions, like
+    # the decoder's _tf_attn_rollout) was implemented, verified
+    # gradient-exact, and A/B'd at 12.3 vs 11.2 ms/step — 10% SLOWER than
+    # plain scan-autodiff, because the d(hs) (B, T, Hd) cotangent must
+    # ride the backward carry here (the attention VALUES are themselves
+    # an upstream activation) and the attention activation recompute per
+    # backward step outweighs the saved accumulator traffic. Tried and
+    # reverted; the scan below is the fast path.
 
     def step(state, t):
         query = state[0][-1]                                     # (B, hid)
@@ -241,168 +228,6 @@ def local_reconstruct(params: Dict, cfg: ReconstructorConfig,
     # output projection hoisted out of the scan: one (F·B)-row matmul, and
     # out_w's gradient no longer accumulates in the backward carry
     return outs @ params["out_w"] + params["out_b"]              # (F, B, hid)
-
-
-from functools import partial
-
-
-@partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _local_attn_rollout(cell_type, att, rnn_p, hs_btv, uv, mask, t_eff,
-                        drop):
-    """Local-reconstructor recurrence (attention + RNN cell) as ONE
-    custom-VJP rollout.
-
-    Autodiff of the scan would carry the W_ih (Hd, G) and W_hh (Hr, G)
-    gradient accumulators (~50 MB for the flagship config) through every
-    backward step; here the backward scan carries only (dh, dc) plus the
-    small per-sample attention cotangents, emits per-step gate grads, and
-    contracts all four RNN weight grads as stacked (F·B)-row matmuls
-    outside the loop. Forward math identical to the general scan in
-    local_reconstruct (local_reconstructor.py:37-55 semantics); gradients
-    verified exactly against scan-autodiff (tests/test_model_parity.py).
-
-    hs_btv: (B, T, Hd) decoder hiddens; uv = hs@U (B, T, A); mask (B, T)
-    float; drop (F, B, Hd) multiplicative dropout factors. Returns the
-    hidden stack (F, B, Hr).
-    """
-    return _local_rollout_fwd(cell_type, att, rnn_p, hs_btv, uv, mask,
-                              t_eff, drop)[0]
-
-
-def _local_rollout_fwd(cell_type, att, rnn_p, hs_btv, uv, mask, t_eff,
-                       drop):
-    B, T, Hd = hs_btv.shape
-    Hr = rnn_p["w_hh"].shape[0]
-    dtype = hs_btv.dtype
-    w_vec = att["w"][:, 0]                                       # (A,)
-
-    def step(state, drop_t):
-        h, c = state
-        wh = h @ att["W"]                                        # (B, A)
-        act = jnp.tanh(wh[:, None, :] + uv + att["b"])           # (B, T, A)
-        scores = (act @ att["w"])[..., 0] * mask                 # (B, T)
-        y = jnp.einsum("bt,bte->be", scores, hs_btv)
-        x_pre = y / t_eff
-        x = x_pre * drop_t
-        gi = x @ rnn_p["w_ih"] + rnn_p["b_ih"]
-        if cell_type == "LSTM":
-            gates = gi + h @ rnn_p["w_hh"] + rnn_p["b_hh"]
-            i, f, g, o = jnp.split(gates, 4, axis=-1)
-            i = jax.nn.sigmoid(i)
-            f = jax.nn.sigmoid(f)
-            g = jnp.tanh(g)
-            o = jax.nn.sigmoid(o)
-            c_new = f * c + i * g
-            h_new = o * jnp.tanh(c_new)
-            acts = jnp.concatenate([i, f, g, o], -1)
-        else:
-            gh = h @ rnn_p["w_hh"] + rnn_p["b_hh"]
-            i_r, i_z, i_n = jnp.split(gi, 3, axis=-1)
-            h_r, h_z, h_n = jnp.split(gh, 3, axis=-1)
-            r = jax.nn.sigmoid(i_r + h_r)
-            z = jax.nn.sigmoid(i_z + h_z)
-            n = jnp.tanh(i_n + r * h_n)
-            h_new = (1.0 - z) * n + z * h
-            c_new = c
-            acts = jnp.concatenate([r, z, n, h_n], -1)
-        return (h_new, c_new), (h_new, c_new, acts, scores, x_pre)
-
-    z0 = jnp.zeros((B, Hr), dtype)
-    _, (hs_out, cs, acts, scores, x_pre) = jax.lax.scan(
-        step, (z0, z0), drop)
-    res = (att, rnn_p, hs_btv, uv, mask, t_eff, drop,
-           hs_out, cs, acts, scores, x_pre)
-    return hs_out, res
-
-
-def _local_rollout_bwd(cell_type, res, douts):
-    (att, rnn_p, hs_btv, uv, mask, t_eff, drop,
-     hs_out, cs, acts, scores, x_pre) = res
-    B, T, Hd = hs_btv.shape
-    Hr = rnn_p["w_hh"].shape[0]
-    dtype = hs_btv.dtype
-    z0 = jnp.zeros((B, Hr), dtype)
-    h_prev = jnp.concatenate([z0[None], hs_out[:-1]], 0)
-    c_prev = jnp.concatenate([z0[None], cs[:-1]], 0)
-    w_vec = att["w"][:, 0]
-
-    def step(carry, xs):
-        dh_next, dc_next, d_hs, d_uv, d_mask, dW, dw, db, dteff = carry
-        dout, act_t, h_pv, c_pv, c_t, scores_t, xpre_t, drop_t = xs
-        dh = dh_next + dout
-        if cell_type == "LSTM":
-            i, f, g, o = jnp.split(act_t, 4, axis=-1)
-            tc = jnp.tanh(c_t)
-            do = dh * tc
-            dc = dc_next + dh * o * (1.0 - tc * tc)
-            di = dc * g
-            dg = dc * i
-            df = dc * c_pv
-            dc_prev = dc * f
-            dgates = jnp.concatenate(
-                [di * i * (1.0 - i), df * f * (1.0 - f),
-                 dg * (1.0 - g * g), do * o * (1.0 - o)], -1)
-            dgi = dgates
-            dgh = dgates
-            dh_prev = dgates @ rnn_p["w_hh"].T
-        else:
-            r, zg, n, h_n = jnp.split(act_t, 4, axis=-1)
-            dz = dh * (h_pv - n)
-            dn = dh * (1.0 - zg)
-            dn_pre = dn * (1.0 - n * n)
-            dr = dn_pre * h_n
-            dh_n = dn_pre * r
-            dr_pre = dr * r * (1.0 - r)
-            dz_pre = dz * zg * (1.0 - zg)
-            dgh = jnp.concatenate([dr_pre, dz_pre, dh_n], -1)
-            dgi = jnp.concatenate([dr_pre, dz_pre, dn_pre], -1)
-            dh_prev = dh * zg + dgh @ rnn_p["w_hh"].T
-            dc_prev = dc_next
-        dx = dgi @ rnn_p["w_ih"].T                               # (B, Hd)
-        dxp = dx * drop_t                                        # d x_pre
-        dy = dxp / t_eff
-        dteff = dteff - jnp.sum(dxp * xpre_t) / t_eff
-        dscores = jnp.einsum("be,bte->bt", dy, hs_btv)
-        d_hs = d_hs + scores_t[:, :, None] * dy[:, None, :]
-        # recompute the attention activation for this step's query
-        wh = h_pv @ att["W"]
-        act = jnp.tanh(wh[:, None, :] + uv + att["b"])
-        raw = (act @ att["w"])[..., 0]
-        d_mask = d_mask + dscores * raw
-        ds_raw = dscores * mask
-        d_act = ds_raw[:, :, None] * w_vec
-        dpre = d_act * (1.0 - act * act)
-        d_uv = d_uv + dpre
-        db = db + dpre.sum((0, 1))
-        dw = dw + jnp.einsum("bta,bt->a", act, ds_raw)[:, None]
-        dwh = dpre.sum(1)                                        # (B, A)
-        dW = dW + h_pv.T @ dwh
-        dh_prev = dh_prev + dwh @ att["W"].T
-        carry = (dh_prev, dc_prev, d_hs, d_uv, d_mask, dW, dw, db, dteff)
-        return carry, (dgi, dgh, dx)
-
-    init = (z0, z0, jnp.zeros_like(hs_btv), jnp.zeros_like(uv),
-            jnp.zeros_like(mask), jnp.zeros_like(att["W"]),
-            jnp.zeros_like(att["w"]), jnp.zeros_like(att["b"]),
-            jnp.zeros([], dtype))
-    (dh0, dc0, d_hs, d_uv, d_mask, dW, dw, db, dteff), \
-        (dgi, dgh, dx) = jax.lax.scan(
-            step, init, (douts, acts, h_prev, c_prev, cs, scores, x_pre,
-                         drop), reverse=True)
-
-    x_post = x_pre * drop
-    d_rnn = {
-        "w_ih": jnp.einsum("tbe,tbg->eg", x_post, dgi),
-        "b_ih": dgi.sum((0, 1)),
-        "w_hh": jnp.einsum("tbh,tbg->hg", h_prev, dgh),
-        "b_hh": dgh.sum((0, 1)),
-    }
-    d_att = {"W": dW, "U": jnp.zeros_like(att["U"]), "b": db, "w": dw}
-    d_drop = dx * x_pre
-    return (d_att, d_rnn, d_hs, d_uv, d_mask, dteff, d_drop)
-
-
-_local_attn_rollout.defvjp(_local_rollout_fwd, _local_rollout_bwd)
 
 
 def local_recon_loss(params: Dict, cfg: ReconstructorConfig,

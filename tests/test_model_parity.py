@@ -148,44 +148,3 @@ def test_local_reconstructor_matches_oracle(cell_type, rng):
         jnp.float32(t_eff), rng=None, train=False)
 
     np.testing.assert_allclose(float(j_loss), o_loss, rtol=2e-4, atol=1e-6)
-
-
-@pytest.mark.parametrize("train", [False, True])
-@pytest.mark.parametrize("cell_type", ["LSTM", "GRU"])
-def test_local_rollout_custom_vjp_matches_general_scan(cell_type, train, rng):
-    """The local reconstructor's custom-VJP fast path (_local_attn_rollout:
-    out-of-scan weight gradients) must match the general scan path — outputs
-    and gradients w.r.t. every parameter AND the decoder hiddens, with
-    dropout on (per-step masks precomputed from the same keys) and off."""
-    T, B, Hd, Hr, A, F = 9, 4, 10, 12, 5, 6
-    cfg = rec_mod.ReconstructorConfig(
-        kind="local", cell_type=cell_type, decoder_hidden_size=Hd,
-        hidden_size=Hr, attn_size=A, encoder_output_len=F,
-        decoder_dropout=0.5 if train else 0.0)
-    params = rec_mod.init_reconstructor_params(jax.random.PRNGKey(1), cfg)
-    dh = jnp.asarray(rng.standard_normal((T, 1, B, Hd)), jnp.float32)
-    step_mask = jnp.asarray([1.0] * 6 + [0.0] * (T - 6))
-    t_eff = jnp.asarray(6.0)
-    key = jax.random.PRNGKey(7) if train else None
-    w_loss = jnp.asarray(rng.standard_normal((F, B, Hr)), jnp.float32)
-
-    def loss(p, dhid, force_general):
-        outs = rec_mod.local_reconstruct(p, cfg, dhid, step_mask, t_eff,
-                                         key, train,
-                                         _force_general=force_general)
-        return jnp.sum(outs * w_loss)
-
-    v1, (gp1, gd1) = jax.value_and_grad(
-        lambda p, d: loss(p, d, True), argnums=(0, 1))(params, dh)
-    v2, (gp2, gd2) = jax.value_and_grad(
-        lambda p, d: loss(p, d, False), argnums=(0, 1))(params, dh)
-
-    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-6)
-    np.testing.assert_allclose(np.asarray(gd1), np.asarray(gd2),
-                               rtol=1e-5, atol=1e-6)
-    flat1, tree1 = jax.tree_util.tree_flatten_with_path(gp1)
-    flat2, _ = jax.tree_util.tree_flatten_with_path(gp2)
-    for (path, a), (_, b) in zip(flat1, flat2):
-        np.testing.assert_allclose(
-            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6,
-            err_msg=jax.tree_util.keystr(path))
