@@ -39,7 +39,8 @@ def initialize(coordinator_address: Optional[str] = None,
                num_processes: Optional[int] = None,
                process_id: Optional[int] = None,
                local_device_ids=None,
-               cpu_collectives: Optional[str] = None) -> None:
+               cpu_collectives: Optional[str] = None,
+               **kwargs) -> None:
     """Join the process group. No-op for single-process runs.
 
     Must be called before any other JAX API touches the backend. Arguments
@@ -49,7 +50,10 @@ def initialize(coordinator_address: Optional[str] = None,
 
     ``cpu_collectives`` ("gloo" or "mpi") selects the cross-process
     collective implementation for the CPU backend — required for
-    multi-process CPU runs (tests use gloo); ignored on TPU.
+    multi-process CPU runs (tests use gloo); ignored on TPU. Extra
+    kwargs (e.g. ``shutdown_timeout_seconds``, ``heartbeat_timeout_seconds``,
+    ``initialization_timeout``) pass through to
+    ``jax.distributed.initialize``.
     """
     explicit = num_processes is not None
     env = os.environ.get("JAX_NUM_PROCESSES")
@@ -64,7 +68,8 @@ def initialize(coordinator_address: Optional[str] = None,
         coordinator_address=coordinator_address,
         num_processes=num_processes,
         process_id=process_id,
-        local_device_ids=local_device_ids)
+        local_device_ids=local_device_ids,
+        **kwargs)
 
 
 def process_count() -> int:

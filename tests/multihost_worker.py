@@ -38,9 +38,14 @@ def main():
     jax.config.update("jax_platforms", "cpu")
 
     from recnet_tpu.parallel import distributed as dist
+    # generous timeouts: CI machines run this alongside the rest of the
+    # suite, and rank 0 does extra host-side work (TB import, checkpoint)
     dist.initialize(coordinator_address=f"localhost:{port}",
                     num_processes=nproc, process_id=pid,
-                    cpu_collectives="gloo")
+                    cpu_collectives="gloo",
+                    initialization_timeout=600,
+                    heartbeat_timeout_seconds=600,
+                    shutdown_timeout_seconds=600)
     assert jax.process_count() == nproc
     assert jax.device_count() == 8, jax.device_count()
 

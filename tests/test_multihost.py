@@ -68,14 +68,23 @@ def test_two_process_training_matches_single_process(tmp_path, mesh_shape):
     base = _digest(out0)
 
     # --- two processes x 4 local devices, same global mesh ---
-    port = _free_port()
-    outs = [str(tmp_path / f"rank{i}") for i in range(2)]
-    procs = [_run_rank(i, 2, port, root, outs[i], mesh_shape, 4)
-             for i in range(2)]
-    results = [pr.communicate(timeout=900) for pr in procs]
-    for i, pr in enumerate(procs):
-        assert pr.returncode == 0, \
-            f"rank {i} failed:\n{results[i][1][-3000:]}"
+    # one retry: the 2-process rendezvous + collectives can hit timing
+    # flakes on a loaded CI machine; a genuine numerics/gating bug fails
+    # both attempts deterministically
+    for attempt in range(2):
+        port = _free_port()
+        outs = [str(tmp_path / f"a{attempt}rank{i}") for i in range(2)]
+        procs = [_run_rank(i, 2, port, root, outs[i], mesh_shape, 4)
+                 for i in range(2)]
+        results = [pr.communicate(timeout=900) for pr in procs]
+        if all(pr.returncode == 0 for pr in procs):
+            break
+        diag = "\n".join(
+            f"--- attempt {attempt} rank {i} rc={procs[i].returncode} "
+            f"stdout:\n{results[i][0][-1500:]}\nstderr:\n"
+            f"{results[i][1][-3000:]}" for i in range(2))
+        assert attempt == 0, f"2-process run failed twice:\n{diag}"
+        print(f"retrying flaky 2-process run:\n{diag}")
     d0, d1 = (_digest(results[i][0]) for i in range(2))
 
     assert d0 == d1, f"ranks disagree: {d0} vs {d1}"
