@@ -66,6 +66,9 @@ def make_handler(captioner, model_id: str):
                 return self._reply(200, {"captions": captions})
             except (KeyError, ValueError, TypeError) as e:
                 return self._reply(400, {"error": str(e)})
+            except Exception as e:  # noqa: BLE001 — a runtime failure must
+                # reach the client as a 5xx, not a dropped connection
+                return self._reply(500, {"error": f"{type(e).__name__}: {e}"})
 
     return Handler
 

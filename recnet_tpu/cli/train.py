@@ -47,13 +47,14 @@ def main(argv=None):
         a.error("--async_ckpt requires --ckpt_backend orbax "
                 "(npz saves are synchronous)")
 
-    if args.num_processes and args.num_processes > 1:
-        # must happen before any other JAX API initializes the backend
-        from recnet_tpu.parallel import distributed as dist
-        dist.initialize(coordinator_address=args.coordinator,
-                        num_processes=args.num_processes,
-                        process_id=args.process_id,
-                        cpu_collectives=args.cpu_collectives)
+    # must happen before any other JAX API initializes the backend; a
+    # no-op unless --num_processes or the JAX_NUM_PROCESSES env var asks
+    # for a process group (initialize() documents the env defaults)
+    from recnet_tpu.parallel import distributed as dist
+    dist.initialize(coordinator_address=args.coordinator,
+                    num_processes=args.num_processes,
+                    process_id=args.process_id,
+                    cpu_collectives=args.cpu_collectives)
 
     if args.config:
         with open(args.config) as f:
@@ -61,7 +62,7 @@ def main(argv=None):
     else:
         tc = TrainConfig()
 
-    use_mesh = args.mesh or bool(args.num_processes and args.num_processes > 1)
+    use_mesh = args.mesh or dist.is_multihost()
     if args.mesh_shape:
         shape = tuple((kv.split("=")[0], int(kv.split("=")[1]))
                       for kv in args.mesh_shape.split(","))

@@ -271,26 +271,8 @@ def _tf_rollout_fwd(cell_type, att, w_enc, w_hh, b_hh, enc, uv, gi_emb):
         scores = (act @ att["w"])[..., 0]                        # (B, F)
         ctx = jnp.einsum("bf,bfe->be", scores, enc) / F
         gi = gi_emb_t + ctx @ w_enc
-        if cell_type == "LSTM":
-            gates = gi + h @ w_hh + b_hh
-            i, f, g, o = jnp.split(gates, 4, axis=-1)
-            i = jax.nn.sigmoid(i)
-            f = jax.nn.sigmoid(f)
-            g = jnp.tanh(g)
-            o = jax.nn.sigmoid(o)
-            c_new = f * c + i * g
-            h_new = o * jnp.tanh(c_new)
-            acts = jnp.concatenate([i, f, g, o], -1)
-        else:
-            gh = h @ w_hh + b_hh
-            i_r, i_z, i_n = jnp.split(gi, 3, axis=-1)
-            h_r, h_z, h_n = jnp.split(gh, 3, axis=-1)
-            r = jax.nn.sigmoid(i_r + h_r)
-            z = jax.nn.sigmoid(i_z + h_z)
-            n = jnp.tanh(i_n + r * h_n)
-            h_new = (1.0 - z) * n + z * h
-            c_new = c
-            acts = jnp.concatenate([r, z, n, h_n], -1)
+        h_new, c_new, acts = rnn_ops.rollout_cell_fwd(
+            cell_type, gi, h, c, w_hh, b_hh)
         return (h_new, c_new), (h_new, c_new, acts, scores, ctx)
 
     z0 = jnp.zeros((B, H), dtype)
@@ -310,36 +292,10 @@ def _tf_rollout_bwd(cell_type, res, dhs):
 
     def step(carry, xs):
         dh_next, dc_next, d_uv, dW, dw, db = carry
-        dout, act_t, h_pv, c_pv, c_t, scores_t = xs
-        dh = dh_next + dout
-        if cell_type == "LSTM":
-            i, f, g, o = jnp.split(act_t, 4, axis=-1)
-            tc = jnp.tanh(c_t)
-            do = dh * tc
-            dc = dc_next + dh * o * (1.0 - tc * tc)
-            di = dc * g
-            dg = dc * i
-            df = dc * c_pv
-            dc_prev = dc * f
-            dgates = jnp.concatenate(
-                [di * i * (1.0 - i), df * f * (1.0 - f),
-                 dg * (1.0 - g * g), do * o * (1.0 - o)], -1)
-            dgi = dgates
-            dgh = dgates
-            dh_prev = dgates @ w_hh.T
-        else:
-            r, zg, n, h_n = jnp.split(act_t, 4, axis=-1)
-            dz = dh * (h_pv - n)
-            dn = dh * (1.0 - zg)
-            dn_pre = dn * (1.0 - n * n)
-            dr = dn_pre * h_n
-            dh_n = dn_pre * r
-            dr_pre = dr * r * (1.0 - r)
-            dz_pre = dz * zg * (1.0 - zg)
-            dgh = jnp.concatenate([dr_pre, dz_pre, dh_n], -1)
-            dgi = jnp.concatenate([dr_pre, dz_pre, dn_pre], -1)
-            dh_prev = dh * zg + dgh @ w_hh.T
-            dc_prev = dc_next
+        dout, act_t, h_pv, c_pv, c_t = xs
+        dgi, dgh, dh_prev, dc_prev = rnn_ops.rollout_cell_bwd(
+            cell_type, dh_next + dout, dc_next, act_t, h_pv, c_pv, c_t,
+            w_hh)
         dctx = dgi @ w_enc.T                                     # (B, enc)
         dscores = jnp.einsum("be,bfe->bf", dctx, enc) / F
         # attention backward (recompute the activation for this query)
@@ -357,8 +313,10 @@ def _tf_rollout_bwd(cell_type, res, dhs):
 
     init = (z0, z0, jnp.zeros_like(uv), jnp.zeros_like(att["W"]),
             jnp.zeros_like(att["w"]), jnp.zeros_like(att["b"]))
+    # note: the per-step ``scores`` are NOT threaded through the scan —
+    # they are only needed in the out-of-scan d_enc contraction below
     (dh0, dc0, d_uv, dW, dw, db), (dgi, dgh, dctx) = jax.lax.scan(
-        step, init, (dhs, acts, h_prev, c_prev, cs, scores), reverse=True)
+        step, init, (dhs, acts, h_prev, c_prev, cs), reverse=True)
 
     # stacked out-of-scan contractions
     d_w_enc = jnp.einsum("tbe,tbg->eg", ctxs, dgi)

@@ -150,6 +150,60 @@ def zero_state(batch_size: int, hidden_size: int, dtype=jnp.float32):
 # ---------------------------------------------------------------------------
 
 
+def rollout_cell_fwd(cell_type: str, gi, h, c, w_hh, b_hh):
+    """One recurrent step from precomputed input gates.
+
+    Returns (h_new, c_new, acts) where ``acts`` stacks exactly the
+    saturated activations :func:`rollout_cell_bwd` needs —
+    [i, f, g, o] for LSTM, [r, z, n, h_n] for GRU (GRU echoes ``c``).
+    Shared by every custom-VJP rollout (ops/rnn.py cores and the
+    decoder's _tf_attn_rollout) so the gate math exists once.
+    """
+    if cell_type == "LSTM":
+        gates = gi + h @ w_hh + b_hh
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        i = jax.nn.sigmoid(i)
+        f = jax.nn.sigmoid(f)
+        g = jnp.tanh(g)
+        o = jax.nn.sigmoid(o)
+        c_new = f * c + i * g
+        h_new = o * jnp.tanh(c_new)
+        return h_new, c_new, jnp.concatenate([i, f, g, o], -1)
+    gh = h @ w_hh + b_hh
+    i_r, i_z, i_n = jnp.split(gi, 3, axis=-1)
+    h_r, h_z, h_n = jnp.split(gh, 3, axis=-1)
+    r = jax.nn.sigmoid(i_r + h_r)
+    z = jax.nn.sigmoid(i_z + h_z)
+    n = jnp.tanh(i_n + r * h_n)
+    return (1.0 - z) * n + z * h, c, jnp.concatenate([r, z, n, h_n], -1)
+
+
+def rollout_cell_bwd(cell_type: str, dh, dc_next, act, h_pv, c_pv, c_t,
+                     w_hh):
+    """Cotangents of one :func:`rollout_cell_fwd` step.
+
+    ``dh`` must already sum the recurrent and output cotangents flowing
+    into h_t. Returns (dgi, dgh, dh_prev, dc_prev); for LSTM dgi is dgh.
+    """
+    if cell_type == "LSTM":
+        i, f, g, o = jnp.split(act, 4, axis=-1)
+        tc = jnp.tanh(c_t)
+        do = dh * tc
+        dc = dc_next + dh * o * (1.0 - tc * tc)
+        dgates = jnp.concatenate(
+            [dc * g * i * (1.0 - i), dc * c_pv * f * (1.0 - f),
+             dc * i * (1.0 - g * g), do * o * (1.0 - o)], -1)
+        return dgates, dgates, dgates @ w_hh.T, dc * f
+    r, z, n, h_n = jnp.split(act, 4, axis=-1)
+    dz = dh * (h_pv - n)
+    dn_pre = dh * (1.0 - z) * (1.0 - n * n)
+    dr_pre = dn_pre * h_n * r * (1.0 - r)
+    dz_pre = dz * z * (1.0 - z)
+    dgh = jnp.concatenate([dr_pre, dz_pre, dn_pre * r], -1)
+    dgi = jnp.concatenate([dr_pre, dz_pre, dn_pre], -1)
+    return dgi, dgh, dh * z + dgh @ w_hh.T, dc_next
+
+
 @jax.custom_vjp
 def lstm_rollout_pre(w_hh: jax.Array, b_hh: jax.Array, gi_all: jax.Array,
                      h0: jax.Array, c0: jax.Array) -> jax.Array:
@@ -161,16 +215,8 @@ def lstm_rollout_pre(w_hh: jax.Array, b_hh: jax.Array, gi_all: jax.Array,
 def _lstm_rollout_fwd(w_hh, b_hh, gi_all, h0, c0):
     def step(state, gi):
         h, c = state
-        gates = gi + h @ w_hh + b_hh
-        i, f, g, o = jnp.split(gates, 4, axis=-1)
-        i = jax.nn.sigmoid(i)
-        f = jax.nn.sigmoid(f)
-        g = jnp.tanh(g)
-        o = jax.nn.sigmoid(o)
-        c_new = f * c + i * g
-        h_new = o * jnp.tanh(c_new)
-        return (h_new, c_new), (h_new, c_new,
-                                jnp.concatenate([i, f, g, o], -1))
+        h_new, c_new, acts = rollout_cell_fwd("LSTM", gi, h, c, w_hh, b_hh)
+        return (h_new, c_new), (h_new, c_new, acts)
 
     _, (hs, cs, acts) = jax.lax.scan(step, (h0, c0), gi_all)
     return hs, (w_hh, hs, cs, acts, h0, c0)
@@ -178,25 +224,13 @@ def _lstm_rollout_fwd(w_hh, b_hh, gi_all, h0, c0):
 
 def _lstm_rollout_bwd(res, dhs):
     w_hh, hs, cs, acts, h0, c0 = res
-    H = h0.shape[-1]
     c_prev = jnp.concatenate([c0[None], cs[:-1]], 0)
 
     def step(carry, xs):
         dh_next, dc_next = carry
         dh_out, act, c_t, c_pv = xs
-        i, f, g, o = jnp.split(act, 4, axis=-1)
-        dh = dh_next + dh_out
-        tc = jnp.tanh(c_t)
-        do = dh * tc
-        dc = dc_next + dh * o * (1.0 - tc * tc)
-        di = dc * g
-        dg = dc * i
-        df = dc * c_pv
-        dc_prev = dc * f
-        dgates = jnp.concatenate(
-            [di * i * (1.0 - i), df * f * (1.0 - f),
-             dg * (1.0 - g * g), do * o * (1.0 - o)], -1)
-        dh_prev = dgates @ w_hh.T
+        dgates, _, dh_prev, dc_prev = rollout_cell_bwd(
+            "LSTM", dh_next + dh_out, dc_next, act, None, c_pv, c_t, w_hh)
         return (dh_prev, dc_prev), dgates
 
     zero = jnp.zeros_like(h0)
@@ -221,14 +255,8 @@ def gru_rollout_pre(w_hh: jax.Array, b_hh: jax.Array, gi_all: jax.Array,
 
 def _gru_rollout_fwd(w_hh, b_hh, gi_all, h0):
     def step(h, gi):
-        gh = h @ w_hh + b_hh
-        i_r, i_z, i_n = jnp.split(gi, 3, axis=-1)
-        h_r, h_z, h_n = jnp.split(gh, 3, axis=-1)
-        r = jax.nn.sigmoid(i_r + h_r)
-        z = jax.nn.sigmoid(i_z + h_z)
-        n = jnp.tanh(i_n + r * h_n)
-        h_new = (1.0 - z) * n + z * h
-        return h_new, (h_new, jnp.concatenate([r, z, n, h_n], -1))
+        h_new, _, acts = rollout_cell_fwd("GRU", gi, h, None, w_hh, b_hh)
+        return h_new, (h_new, acts)
 
     _, (hs, acts) = jax.lax.scan(step, h0, gi_all)
     return hs, (w_hh, hs, acts, h0)
@@ -240,18 +268,8 @@ def _gru_rollout_bwd(res, dhs):
 
     def step(dh_next, xs):
         dh_out, act, h_pv = xs
-        r, z, n, h_n = jnp.split(act, 4, axis=-1)
-        dh = dh_next + dh_out
-        dz = dh * (h_pv - n)
-        dn = dh * (1.0 - z)
-        dn_pre = dn * (1.0 - n * n)
-        dr = dn_pre * h_n
-        dh_n = dn_pre * r
-        dr_pre = dr * r * (1.0 - r)
-        dz_pre = dz * z * (1.0 - z)
-        dgh = jnp.concatenate([dr_pre, dz_pre, dh_n], -1)
-        dgi = jnp.concatenate([dr_pre, dz_pre, dn_pre], -1)
-        dh_prev = dh * z + dgh @ w_hh.T
+        dgi, dgh, dh_prev, _ = rollout_cell_bwd(
+            "GRU", dh_next + dh_out, None, act, h_pv, None, None, w_hh)
         return dh_prev, (dgi, dgh)
 
     dh0, (dgi, dgh) = jax.lax.scan(

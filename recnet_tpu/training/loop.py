@@ -104,87 +104,92 @@ def train(tc: TrainConfig, debug: bool = False, loss_only: bool = False,
     start_iter = int(state.step)
 
     batches = device_batches()
-    for iteration, (videos, captions) in enumerate(
-            batches, start_iter + 1):
-        # jax.profiler trace window (new aux capability; SURVEY §5)
-        if profile_dir and iteration == profile_window[0]:
-            jax.profiler.start_trace(profile_dir)
-        if profile_dir and iteration == profile_window[1]:
-            jax.profiler.stop_trace()
-        state, metrics = train_step(state, videos, captions, rng)
+    try:
+        for iteration, (videos, captions) in enumerate(
+                batches, start_iter + 1):
+            # jax.profiler trace window (new aux capability; SURVEY §5)
+            if profile_dir and iteration == profile_window[0]:
+                jax.profiler.start_trace(profile_dir)
+            if profile_dir and iteration == profile_window[1]:
+                jax.profiler.stop_trace()
+            state, metrics = train_step(state, videos, captions, rng)
 
-        # accumulate on-device; only the log-cadence step forces a host sync
-        # (the reference's loss.item() at train.py:275-277 synced every
-        # iteration — a pipeline stall the TPU loop avoids)
-        train_loss = train_loss + metrics["loss"]
-        train_dec = train_dec + metrics["dec_loss"]
-        train_rec = train_rec + metrics["rec_loss"]
+            # accumulate on-device; only the log-cadence step forces a host sync
+            # (the reference's loss.item() at train.py:275-277 synced every
+            # iteration — a pipeline stall the TPU loop avoids)
+            train_loss = train_loss + metrics["loss"]
+            train_dec = train_dec + metrics["dec_loss"]
+            train_rec = train_rec + metrics["rec_loss"]
 
-        if debug or iteration % tc.log_every == 0:
-            n = tc.log_every * tc.batch_size
-            train_loss = float(train_loss) / n
-            train_dec = float(train_dec) / n
-            train_rec = float(train_rec) / n
-            # failure detection (new aux capability; the reference has none,
-            # SURVEY §5): non-finite loss -> emergency checkpoint + abort
-            if not np.isfinite(train_loss):
-                path = None
-                if primary or ckpt_backend == "orbax":
-                    path = ckpt.save_checkpoint(
-                        save_dir, iteration, state, tc, vocab,
-                        backend=ckpt_backend,
-                        extra={"emergency": True, "loss": train_loss})
-                raise FloatingPointError(
-                    f"non-finite training loss {train_loss} at iteration "
-                    f"{iteration}; emergency checkpoint saved to {path}")
-            dt = time.time() - t_start
-            steps_sec = (tc.log_every if not debug else 1) / max(dt, 1e-9)
-            if writer:
-                writer.scalar(tc.tx_train_loss, train_loss, iteration)
-                writer.scalar(tc.tx_lambda_decoder, tc.decoder_lambda_reg,
-                              iteration)
-                writer.scalar("perf/steps_per_sec", steps_sec, iteration)
-                if tc.use_recon:
-                    writer.scalar(tc.tx_train_loss_decoder, train_dec, iteration)
-                    writer.scalar(tc.tx_train_loss_reconstructor, train_rec,
+            if debug or iteration % tc.log_every == 0:
+                n = tc.log_every * tc.batch_size
+                train_loss = float(train_loss) / n
+                train_dec = float(train_dec) / n
+                train_rec = float(train_rec) / n
+                # failure detection (new aux capability; the reference has none,
+                # SURVEY §5): non-finite loss -> emergency checkpoint + abort
+                if not np.isfinite(train_loss):
+                    path = None
+                    if primary or ckpt_backend == "orbax":
+                        path = ckpt.save_checkpoint(
+                            save_dir, iteration, state, tc, vocab,
+                            backend=ckpt_backend,
+                            extra={"emergency": True, "loss": train_loss})
+                    raise FloatingPointError(
+                        f"non-finite training loss {train_loss} at iteration "
+                        f"{iteration}; emergency checkpoint saved to {path}")
+                dt = time.time() - t_start
+                steps_sec = (tc.log_every if not debug else 1) / max(dt, 1e-9)
+                if writer:
+                    writer.scalar(tc.tx_train_loss, train_loss, iteration)
+                    writer.scalar(tc.tx_lambda_decoder, tc.decoder_lambda_reg,
                                   iteration)
-                    writer.scalar(tc.tx_lambda_reconstructor,
-                                  tc.reconstructor_lambda_reg, iteration)
-                    writer.scalar(tc.tx_lambda, tc.lambda_recon, iteration)
-            msg = "Iter {} / {} ({:.1f}%): loss {:.5f}".format(
-                iteration, tc.n_iterations,
-                iteration / tc.n_iterations * 100, train_loss)
-            if tc.use_recon:
-                msg += " (dec {:.5f} + rec {:.5f})".format(train_dec, train_rec)
-            msg += " [{:.1f} it/s]".format(steps_sec)
-            say(msg)
-            train_loss = train_dec = train_rec = 0.0
-            t_start = time.time()
+                    writer.scalar("perf/steps_per_sec", steps_sec, iteration)
+                    if tc.use_recon:
+                        writer.scalar(tc.tx_train_loss_decoder, train_dec, iteration)
+                        writer.scalar(tc.tx_train_loss_reconstructor, train_rec,
+                                      iteration)
+                        writer.scalar(tc.tx_lambda_reconstructor,
+                                      tc.reconstructor_lambda_reg, iteration)
+                        writer.scalar(tc.tx_lambda, tc.lambda_recon, iteration)
+                msg = "Iter {} / {} ({:.1f}%): loss {:.5f}".format(
+                    iteration, tc.n_iterations,
+                    iteration / tc.n_iterations * 100, train_loss)
+                if tc.use_recon:
+                    msg += " (dec {:.5f} + rec {:.5f})".format(train_dec, train_rec)
+                msg += " [{:.1f} it/s]".format(steps_sec)
+                say(msg)
+                train_loss = train_dec = train_rec = 0.0
+                t_start = time.time()
 
-        if debug or iteration % tc.validate_every == 0:
-            _validate(tc, corpus, state, val_step, writer, iteration,
-                      mesh=mesh if multihost else None, say=say)
+            if debug or iteration % tc.validate_every == 0:
+                _validate(tc, corpus, state, val_step, writer, iteration,
+                          mesh=mesh if multihost else None, say=say)
 
-        if not loss_only and (debug or iteration % tc.test_every == 0):
-            _test(tc, corpus, state, dcfg, writer, iteration,
-                  mesh=mesh if multihost else None, say=say,
-                  primary=primary)
+            if not loss_only and (debug or iteration % tc.test_every == 0):
+                _test(tc, corpus, state, dcfg, writer, iteration,
+                      mesh=mesh if multihost else None, say=say,
+                      primary=primary)
 
-        if iteration % tc.save_every == 0:
-            # orbax saves are cooperative (every rank participates); npz
-            # fetches host-side on the primary only
-            if primary or ckpt_backend == "orbax":
-                path = ckpt.save_checkpoint(save_dir, iteration, state, tc,
-                                            vocab, backend=ckpt_backend,
-                                            async_save=async_ckpt)
-                if keep_last_k and primary:
-                    ckpt.prune_old(save_dir, keep_last_k)
-                say(f"Saved checkpoint: {path}")
+            if iteration % tc.save_every == 0:
+                # orbax saves are cooperative (every rank participates); npz
+                # fetches host-side on the primary only
+                if primary or ckpt_backend == "orbax":
+                    path = ckpt.save_checkpoint(save_dir, iteration, state, tc,
+                                                vocab, backend=ckpt_backend,
+                                                async_save=async_ckpt)
+                    if keep_last_k and primary:
+                        ckpt.prune_old(save_dir, keep_last_k)
+                    say(f"Saved checkpoint: {path}")
 
-        if iteration >= tc.n_iterations:
-            break
+            if iteration >= tc.n_iterations:
+                break
 
-    batches.close()  # stop the prefetch thread's device transfers
+    finally:
+        # stop the prefetch thread's device transfers on EVERY
+        # exit path — a daemon thread mid-device_put during
+        # multi-host teardown can wedge the shutdown barrier
+        batches.close()
     ckpt.wait_for_async_saves()
     if writer:
         writer.close()
