@@ -86,16 +86,19 @@ def save_checkpoint(ckpt_dir: str, step: int, state, tc, vocab,
     else:
         raise ValueError(f"Unknown checkpoint backend: {backend!r}")
 
-    with open(os.path.join(step_dir, "config.json"), "w") as f:
-        f.write(tc.to_json())
-    with open(os.path.join(step_dir, "vocab.json"), "w") as f:
-        f.write(vocab.to_json())
-    meta = {"step": int(step), "n_leaves": len(leaves),
-            "structure": _fingerprint(state), "backend": backend}
-    if extra:
-        meta.update(extra)
-    with open(os.path.join(step_dir, "meta.json"), "w") as f:
-        json.dump(meta, f, indent=2)
+    # sidecars: in a multi-process run every rank calls save (orbax saves
+    # are cooperative), but only the primary writes the shared JSON files
+    if jax.process_index() == 0:
+        with open(os.path.join(step_dir, "config.json"), "w") as f:
+            f.write(tc.to_json())
+        with open(os.path.join(step_dir, "vocab.json"), "w") as f:
+            f.write(vocab.to_json())
+        meta = {"step": int(step), "n_leaves": len(leaves),
+                "structure": _fingerprint(state), "backend": backend}
+        if extra:
+            meta.update(extra)
+        with open(os.path.join(step_dir, "meta.json"), "w") as f:
+            json.dump(meta, f, indent=2)
     return step_dir
 
 

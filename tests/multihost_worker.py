@@ -2,7 +2,11 @@
 
 Usage:
   python multihost_worker.py <process_id> <num_processes> <port>
-      <fixture_root> <out_dir> <mesh_shape> <local_devices>
+      <fixture_root> <out_dir> <mesh_shape> <local_devices> [ckpt_backend]
+
+ckpt_backend "orbax" saves cooperatively (every rank calls save) into a
+directory SHARED by all ranks (../shared_ckpt next to out_dir); the
+default "npz" saves from the primary only into <out_dir>/ckpt.
 
 Runs the FULL training loop (training.loop.train) with use_mesh=True over a
 global mesh spanning all processes, then prints a replicated parameter
@@ -27,6 +31,7 @@ def main():
     mesh_shape = tuple((kv.split("=")[0], int(kv.split("=")[1]))
                        for kv in sys.argv[6].split(","))
     ndev = int(sys.argv[7])
+    ckpt_backend = sys.argv[8] if len(sys.argv) > 8 else "npz"
 
     os.environ["JAX_PLATFORMS"] = "cpu"
     flags = [f for f in os.environ.get("XLA_FLAGS", "").split()
@@ -60,10 +65,16 @@ def main():
         log_every=2, validate_every=4, test_every=4, save_every=4,
         mesh_shape=mesh_shape)
 
+    if ckpt_backend == "orbax":
+        save_dir = os.path.join(os.path.dirname(out_dir.rstrip("/")),
+                                "shared_ckpt")
+    else:
+        save_dir = os.path.join(out_dir, "ckpt")
+
     from recnet_tpu.training.loop import train
     state = train(tc, use_mesh=True,
                   log_dir=os.path.join(out_dir, "logs"),
-                  save_dir=os.path.join(out_dir, "ckpt"))
+                  save_dir=save_dir, ckpt_backend=ckpt_backend)
 
     # Replicated digest of the final params: every rank must print the
     # same value, and it must match the single-process baseline.

@@ -37,13 +37,13 @@ def _free_port() -> int:
     return port
 
 
-def _run_rank(pid, nproc, port, root, out, mesh, ndev, timeout=600):
+def _run_rank(pid, nproc, port, root, out, mesh, ndev, backend="npz"):
     env = dict(os.environ)
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     env.pop("JAX_NUM_PROCESSES", None)
     return subprocess.Popen(
         [sys.executable, WORKER, str(pid), str(nproc), str(port),
-         root, out, mesh, str(ndev)],
+         root, out, mesh, str(ndev), backend],
         env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
 
 
@@ -51,6 +51,26 @@ def _digest(stdout: str) -> float:
     m = re.search(r"DIGEST \d+ ([0-9.]+)", stdout)
     assert m, f"no DIGEST line in:\n{stdout}"
     return float(m.group(1))
+
+
+
+def _run_two_proc(tmp_path, root, mesh_shape, backend="npz", tag=""):
+    """Run the 2-process pod with one retry for rendezvous timing flakes;
+    returns (outs, results) of the successful attempt."""
+    for attempt in range(2):
+        port = _free_port()
+        outs = [str(tmp_path / f"{tag}a{attempt}rank{i}") for i in range(2)]
+        procs = [_run_rank(i, 2, port, root, outs[i], mesh_shape, 4,
+                           backend=backend) for i in range(2)]
+        results = [pr.communicate(timeout=900) for pr in procs]
+        if all(pr.returncode == 0 for pr in procs):
+            return outs, results
+        diag = "\n".join(
+            f"--- attempt {attempt} rank {i} rc={procs[i].returncode} "
+            f"stdout:\n{results[i][0][-1500:]}\nstderr:\n"
+            f"{results[i][1][-3000:]}" for i in range(2))
+        assert attempt == 0, f"2-process run failed twice:\n{diag}"
+        print(f"retrying flaky 2-process run:\n{diag}")
 
 
 @pytest.mark.parametrize("mesh_shape", ["data=8", "data=4,model=2"])
@@ -68,23 +88,7 @@ def test_two_process_training_matches_single_process(tmp_path, mesh_shape):
     base = _digest(out0)
 
     # --- two processes x 4 local devices, same global mesh ---
-    # one retry: the 2-process rendezvous + collectives can hit timing
-    # flakes on a loaded CI machine; a genuine numerics/gating bug fails
-    # both attempts deterministically
-    for attempt in range(2):
-        port = _free_port()
-        outs = [str(tmp_path / f"a{attempt}rank{i}") for i in range(2)]
-        procs = [_run_rank(i, 2, port, root, outs[i], mesh_shape, 4)
-                 for i in range(2)]
-        results = [pr.communicate(timeout=900) for pr in procs]
-        if all(pr.returncode == 0 for pr in procs):
-            break
-        diag = "\n".join(
-            f"--- attempt {attempt} rank {i} rc={procs[i].returncode} "
-            f"stdout:\n{results[i][0][-1500:]}\nstderr:\n"
-            f"{results[i][1][-3000:]}" for i in range(2))
-        assert attempt == 0, f"2-process run failed twice:\n{diag}"
-        print(f"retrying flaky 2-process run:\n{diag}")
+    outs, results = _run_two_proc(tmp_path, root, mesh_shape)
     d0, d1 = (_digest(results[i][0]) for i in range(2))
 
     assert d0 == d1, f"ranks disagree: {d0} vs {d1}"
@@ -99,3 +103,36 @@ def test_two_process_training_matches_single_process(tmp_path, mesh_shape):
     assert not os.path.exists(os.path.join(outs[1], "predictions.txt"))
     # rank 1 stays quiet on stdout (no Iter/loss lines)
     assert "Iter" not in results[1][0]
+
+
+def test_two_process_cooperative_orbax_checkpoint(tmp_path):
+    """Multi-host orbax checkpointing: EVERY rank participates in the save
+    (loop.py routes orbax saves through all ranks), sidecar JSONs come from
+    the primary only, and the saved state restores."""
+    from fixtures import make_msvd_fixture
+
+    root = str(tmp_path / "fixture")
+    make_msvd_fixture(root, n_videos=12, feat_dim=32)
+
+    outs, results = _run_two_proc(tmp_path, root, "data=8",
+                                  backend="orbax")
+    d0, d1 = (_digest(results[i][0]) for i in range(2))
+    assert d0 == d1
+
+    step_dir = str(tmp_path / "shared_ckpt" / "4")
+    assert os.path.isdir(os.path.join(step_dir, "state_orbax"))
+    for f in ("config.json", "vocab.json", "meta.json"):
+        assert os.path.exists(os.path.join(step_dir, f))
+    import json as _json
+    meta = _json.load(open(os.path.join(step_dir, "meta.json")))
+    assert meta["backend"] == "orbax"
+
+    # restores in a fresh (single-process) context
+    import jax
+    from recnet_tpu import checkpoint as ckpt
+    from recnet_tpu.training.step import init_train_state
+    tc, vocab = ckpt.load_config_and_vocab(step_dir)
+    state, _, _ = init_train_state(jax.random.PRNGKey(0), tc.replace(
+        mesh_shape=(("data", 1),)), vocab.n_vocabs)
+    restored, meta2 = ckpt.load_checkpoint(step_dir, state)
+    assert meta2["step"] == 4
