@@ -6,7 +6,13 @@ The reference publishes no throughput numbers (SURVEY §6); the baseline is
 the BASELINE.json north star: 10,000 captions/sec greedy decode on one TPU
 v5e chip. vs_baseline = value / 10000.
 
-Prints ONE JSON line (the best measurement).
+Output contract (kill-proof, round-3 redesign): the current-best result is
+printed as a full JSON line and FLUSHED immediately after EVERY completed
+attempt; the driver parses the tail, so the LAST stdout line wins. An
+external SIGKILL mid-run can therefore never lose an already-measured
+result — whatever landed before the kill is already on stdout. A final
+line (the overall best, or a zero-value record if nothing landed) is
+always printed at the end.
 
 Self-budgeted orchestration: each (path, batch) attempt runs in a FRESH
 subprocess with its own timeout, smallest batch first so a result is locked
@@ -17,11 +23,12 @@ in a bad phase (a wedged compile must not zero the benchmark). A
 persistent JAX compilation cache (.jax_cache/) makes repeat runs of any
 already-compiled shape start in seconds.
 
-If no attempt lands within the budget, remaining slots retry the
-cheapest attempt rather than report zero.
+Per-phase timings (import / trace+lower / compile / execute / fetch) are
+logged to stderr by every child so a slow attempt is attributable.
 
-Env knobs: BENCH_BUDGET_S (total, default 2700), BENCH_ATTEMPT_S (per
-attempt, default 720).
+Env knobs: BENCH_BUDGET_S (total, default 1100), BENCH_ATTEMPT_S (per
+attempt, default 480), BENCH_FIRST_ATTEMPT_S (first, warm-cache attempt,
+default 300).
 """
 
 from __future__ import annotations
@@ -39,7 +46,8 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 # measured captions/s on v5e (bf16): 1024 -> ~25-40k, 4096 -> ~70-90k,
 # 16384 -> ~130-160k, 32768 -> ~185k (when its compile completes). In the
 # worst observed tunnel phase a TRIVIAL jit took 258 s to compile, so even
-# the cheap attempts need generous timeouts.
+# the cheap attempts need generous timeouts — but with streaming output a
+# slow attempt can no longer lose the earlier results.
 ATTEMPTS = [
     {"batch": 1024, "path": "xla_unroll4"},
     {"batch": 4096, "path": "pallas_whole", "block_b": 128},
@@ -49,8 +57,20 @@ ATTEMPTS = [
 ]
 
 
+def _log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
 def _measure_single(batch: int, path: str, block_b: int) -> None:
-    """Child-process mode: measure one (path, batch) and print one JSON."""
+    """Child-process mode: measure one (path, batch) and print one JSON.
+
+    Logs per-phase wall times to stderr (import, trace+lower, compile,
+    execute, fetch) so a timeout in the parent is attributable to a phase
+    rather than a mystery (VERDICT r2 item 2: the B=16384 attempt timed
+    out at 720 s *with* a warm cache and nothing recorded where the time
+    went).
+    """
+    t_start = time.perf_counter()
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -58,17 +78,33 @@ def _measure_single(batch: int, path: str, block_b: int) -> None:
     from recnet_tpu.config import TrainConfig
     from recnet_tpu.decoding import greedy_decode, greedy_decode_whole
     from recnet_tpu.models import decoder as dec_mod
+    _log(f"[child {path}/B={batch}] imports: "
+         f"{time.perf_counter() - t_start:.1f}s")
+
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR", "")
+    n_cached = (len(os.listdir(cache_dir))
+                if cache_dir and os.path.isdir(cache_dir) else 0)
+    _log(f"[child {path}/B={batch}] compilation cache: "
+         f"{cache_dir or '(unset)'} ({n_cached} entries)")
 
     tc = TrainConfig()
     vocab_size = 4188
     dcfg = dec_mod.config_from_train(tc, vocab_size)
+    t0 = time.perf_counter()
     params = dec_mod.init_decoder_params(jax.random.PRNGKey(0), dcfg)
     params = jax.tree_util.tree_map(
         lambda x: x.astype(jnp.bfloat16), params)
-    rng = np.random.default_rng(0)
-    videos = jnp.asarray(rng.standard_normal(
-        (batch, tc.encoder_output_len, tc.encoder_output_size),
-    ).astype(np.float32)).astype(jnp.bfloat16)
+    # Generate the feature batch ON DEVICE: uploading it from the host was
+    # the round-2 silent killer — B=16384 is a 2.75 GB f32 H2D through the
+    # HTTP tunnel, which in a degraded phase blew the whole attempt window
+    # before compile even started. Content is irrelevant to throughput.
+    videos = jax.jit(
+        lambda key: jax.random.normal(
+            key, (batch, tc.encoder_output_len, tc.encoder_output_size),
+            jnp.bfloat16))(jax.random.PRNGKey(1))
+    videos.block_until_ready()
+    _log(f"[child {path}/B={batch}] params+batch on device: "
+         f"{time.perf_counter() - t0:.1f}s")
 
     if path == "pallas_whole":
         fn = lambda v: greedy_decode_whole(
@@ -77,14 +113,34 @@ def _measure_single(batch: int, path: str, block_b: int) -> None:
         fn = lambda v: greedy_decode(
             params, dcfg, v, tc.caption_max_len, unroll=4)
 
-    # warmup/compile; np.asarray forces completion + fetch (the axon
-    # tunnel's block_until_ready returns early, so timing must fetch)
+    # AOT split so compile time is attributable separately from the first
+    # execution (over the axon tunnel both can independently take minutes
+    # in a degraded phase).
+    jitted = jax.jit(fn)
     t0 = time.perf_counter()
-    np.asarray(fn(videos).tokens)
-    warm = time.perf_counter() - t0  # post-compile dispatch+fetch cost
+    lowered = jitted.lower(videos)
+    t_lower = time.perf_counter() - t0
     t0 = time.perf_counter()
-    np.asarray(fn(videos).tokens)
+    compiled = lowered.compile()
+    t_compile = time.perf_counter() - t0
+    _log(f"[child {path}/B={batch}] trace+lower: {t_lower:.1f}s  "
+         f"compile: {t_compile:.1f}s")
+
+    # warmup; np.asarray forces completion + fetch (the axon tunnel's
+    # block_until_ready returns early, so timing must fetch)
+    t0 = time.perf_counter()
+    out = compiled(videos)
+    t_exec = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    np.asarray(out.tokens)
+    t_fetch = time.perf_counter() - t0
+    warm = t_exec + t_fetch
+    _log(f"[child {path}/B={batch}] first call: dispatch {t_exec:.1f}s + "
+         f"fetch {t_fetch:.1f}s")
+    t0 = time.perf_counter()
+    np.asarray(compiled(videos).tokens)
     warm = min(warm, time.perf_counter() - t0)
+    _log(f"[child {path}/B={batch}] warm call: {warm:.1f}s")
     # adapt the measurement volume to the observed per-call latency so a
     # degraded tunnel phase (30+ s per call observed) can't blow the
     # attempt window; a good phase keeps the full best-of-4 x 5
@@ -100,18 +156,36 @@ def _measure_single(batch: int, path: str, block_b: int) -> None:
         t0 = time.perf_counter()
         # dispatch all, then fetch: device serializes compute while D2H
         # overlaps (serving-style pipelining)
-        results = [fn(videos) for _ in range(n_iters)]
+        results = [compiled(videos) for _ in range(n_iters)]
         for r in results:
             np.asarray(r.tokens)
         dt = time.perf_counter() - t0
         best = max(best, batch * n_iters / dt)
+        _log(f"[child {path}/B={batch}] round: {dt:.1f}s for {n_iters} "
+             f"calls -> {batch * n_iters / dt:,.0f} captions/s")
     print(json.dumps({"captions_per_sec": best,
                       "device": str(jax.devices()[0])}))
 
 
+def _result_line(best: float, best_att, device: str) -> str:
+    detail = {"decode_steps": 31, "vocab": 4188, "dtype": "bfloat16",
+              "device": device}
+    if best_att:
+        detail["batch_size"] = best_att["batch"]
+        detail["path"] = best_att["path"]
+    return json.dumps({
+        "metric": "captions_per_sec_greedy",
+        "value": round(best, 1),
+        "unit": "captions/s",
+        "vs_baseline": round(best / BASELINE_CAPTIONS_PER_SEC, 3),
+        "detail": detail,
+    })
+
+
 def main():
-    budget = float(os.environ.get("BENCH_BUDGET_S", 2700))
-    attempt_s = float(os.environ.get("BENCH_ATTEMPT_S", 720))
+    budget = float(os.environ.get("BENCH_BUDGET_S", 1100))
+    attempt_s = float(os.environ.get("BENCH_ATTEMPT_S", 480))
+    first_s = float(os.environ.get("BENCH_FIRST_ATTEMPT_S", 300))
     deadline = time.time() + budget
 
     env = dict(os.environ)
@@ -122,42 +196,44 @@ def main():
     best, best_att, device = 0.0, None, "?"
     for i, att in enumerate(ATTEMPTS):
         remaining = deadline - time.time()
-        if best > 0 and remaining < attempt_s:
+        if best > 0 and remaining < 60:
             break   # keep the result we have rather than risk the budget
         if best == 0 and i > 0 and remaining < attempt_s:
             att = ATTEMPTS[0]   # last gasp: retry the cheapest attempt
-        # with no result yet, a retry gets the FULL attempt window even
-        # past the soft deadline — overrunning the budget beats printing
-        # zero (the worst observed phase compiled a trivial jit in 258 s)
-        window = attempt_s if best == 0 else max(60.0,
-                                                 min(attempt_s, remaining))
+        # the first attempt is a warm-cache shape: tight window so a
+        # degraded phase fails fast into the retry path. With no result
+        # yet, later retries get the FULL attempt window even past the
+        # soft deadline — overrunning the budget beats printing zero (the
+        # worst observed phase compiled a trivial jit in 258 s).
+        if best == 0:
+            window = first_s if i == 0 else attempt_s
+        else:
+            window = max(60.0, min(attempt_s, remaining))
         code = (f"import bench; bench._measure_single("
                 f"{att['batch']}, '{att['path']}', {att.get('block_b', 0)})")
+        t_att = time.time()
         try:
             proc = subprocess.run(
                 [sys.executable, "-c", code], cwd=REPO, env=env,
-                capture_output=True, text=True, timeout=window)
+                stdout=subprocess.PIPE, stderr=None,  # child stderr streams
+                text=True, timeout=window)            # through to ours live
             line = proc.stdout.strip().splitlines()[-1] if proc.stdout else ""
             out = json.loads(line)
             if out["captions_per_sec"] > best:
                 best, best_att, device = (out["captions_per_sec"], att,
                                           out["device"])
         except Exception as e:  # timeout / compile wedge / parse failure
-            print(f"bench attempt {att} failed: {type(e).__name__}: "
-                  f"{str(e)[:200]}", file=sys.stderr)
+            _log(f"bench attempt {att} failed after "
+                 f"{time.time() - t_att:.0f}s: {type(e).__name__}: "
+                 f"{str(e)[:200]}")
+        # stream: lock in the current best IMMEDIATELY — the driver
+        # parses the tail, so an external kill after this point still
+        # captures everything measured so far (VERDICT r2 item 1)
+        if best > 0:
+            print(_result_line(best, best_att, device), flush=True)
 
-    detail = {"decode_steps": 31, "vocab": 4188, "dtype": "bfloat16",
-              "device": device}
-    if best_att:
-        detail["batch_size"] = best_att["batch"]
-        detail["path"] = best_att["path"]
-    print(json.dumps({
-        "metric": "captions_per_sec_greedy",
-        "value": round(best, 1),
-        "unit": "captions/s",
-        "vs_baseline": round(best / BASELINE_CAPTIONS_PER_SEC, 3),
-        "detail": detail,
-    }))
+    # final line: overall best (or an explicit zero record)
+    print(_result_line(best, best_att, device), flush=True)
 
 
 if __name__ == "__main__":

@@ -26,6 +26,7 @@ from typing import Dict, NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from recnet_tpu.models import decoder as dec_mod
 from recnet_tpu.ops import attention as attn_ops
@@ -193,11 +194,12 @@ class BeamResult(NamedTuple):
 
 @partial(jax.jit, static_argnames=("cfg", "beam_width", "max_len",
                                    "use_pallas_topk", "unroll", "early_exit",
-                                   "interpret"))
+                                   "length_cutoff_margin", "interpret"))
 def beam_decode(params: Dict, cfg: dec_mod.DecoderConfig,
                 encoder_outputs: jax.Array, beam_width: int,
                 max_len: int, use_pallas_topk: bool = False,
                 unroll: int = 2, early_exit: bool = False,
+                length_cutoff_margin: int = None,
                 interpret: bool = False) -> BeamResult:
     """Batched beam search (reference: eval.py:36-120), width K, one scan.
 
@@ -214,11 +216,14 @@ def beam_decode(params: Dict, cfg: dec_mod.DecoderConfig,
        top-K runs as K rounds of (max, argmax, mask) — XLA fuses these far
        better than its sort-based ``top_k`` — and first-occurrence argmax
        reproduces ``top_k``'s stable tie order. ``log_sigmoid`` + the
-       length penalty then touch only the K² survivors. Known edge: two
-       DISTINCT logits in one beam saturating to the same ``log_sigmoid``
-       value (requires logits > ~88 where exp(-x) underflows — untrained or
-       pathologically scaled models only) rank by raw logit here where the
-       flat form would tie-break by word index;
+       length penalty then touch only the K² survivors. Logits are clamped
+       at ``log_sigmoid``'s flush-to-zero saturation point (−log(f32 tiny)
+       ≈ 87.3, where exp(−x) underflows the normal range — reachable only
+       by untrained or pathologically scaled models) BEFORE ranking:
+       saturated distinct logits thus become exact ties and first-occurrence
+       argmax reproduces the flat form's word-index tie-break instead of
+       silently ranking by raw logit (the round-2 known edge, now guarded
+       and pinned by tests/test_decoding.py::test_beam_saturated_logits);
     3. the attention score contraction runs on the VPU (tanh fused into the
        reduction) instead of materializing the (B, K, F, A) activation for
        an MXU matmul;
@@ -237,6 +242,18 @@ def beam_decode(params: Dict, cfg: dec_mod.DecoderConfig,
     stopping at the first all-<PAD> step (the reference's break,
     eval.py:116-117) — identical output, fewer steps executed when trained
     captions end before max_len (the common serving case).
+
+    ``length_cutoff_margin`` (with ``early_exit``) additionally stops the
+    loop once EVERY beam of every batch row has emitted <EOS> and the
+    current step is ``margin`` past the latest EOS position seen. The
+    all-<PAD> stop rarely triggers in practice (live beams keep proposing
+    non-PAD words), so this is the serving-oriented cutoff. It is a
+    HEURISTIC: beams keep accumulating score after EOS (the reference
+    semantics), so an extremely late rank flip between already-ended
+    candidates is possible in principle; tests pin sentence-exactness vs
+    the full scan at margin>=2 on the test models, and the returned
+    sentence is always a complete (EOS-terminated) candidate. Not part of
+    eval paths — evaluation uses the exact scan/while forms.
     """
     B, F, E = encoder_outputs.shape
     K = beam_width
@@ -300,15 +317,26 @@ def beam_decode(params: Dict, cfg: dec_mod.DecoderConfig,
             B, K, cfg.n_layers, -1)
         return out, unflat(nh), unflat(nc)
 
+    # log_sigmoid's saturation point: for x >= sat, log_sigmoid(x) is
+    # exactly 0 once exp(-x) leaves the f32 normal range (TPUs flush
+    # subnormals). Clamping here makes saturated logits exact ties, so the
+    # per-beam argmax tie-breaks by word index like the flat top-K would.
+    logsig_sat = jnp.asarray(-np.log(np.finfo(np.float32).tiny), dtype)
+
     def per_beam_topk(out):
         """Exact top-K of ``out @ out_w + out_b`` per row (see docstring)."""
         if use_pallas_topk:
             from recnet_tpu.ops.pallas.topk_proj import outproj_topk
             vals, idxs = outproj_topk(out, params["out_w"], params["out_b"],
                                       k=K, interpret=interpret)
-            return vals.astype(dtype), idxs
+            # the kernel ranks raw logits in-VMEM; clamp the returned vals
+            # so the downstream scores match the flat form (slot order
+            # within a fully saturated tie group remains raw-logit order —
+            # scores are identical, so the final beam choice can differ
+            # from the XLA path only between score-tied candidates)
+            return jnp.minimum(vals.astype(dtype), logsig_sat), idxs
         logits = out @ params["out_w"] + params["out_b"]         # (B*K, V)
-        work = logits
+        work = jnp.minimum(logits, logsig_sat)
         vals, idxs = [], []
         for _ in range(K):
             m = jnp.max(work, axis=-1)
@@ -384,7 +412,14 @@ def beam_decode(params: Dict, cfg: dec_mod.DecoderConfig,
     if early_exit:
         def cond(carry):
             t, c = carry
-            return (t < T) & jnp.logical_not(c[6])   # c[6] = done
+            keep_going = jnp.logical_not(c[6])       # c[6] = done
+            if length_cutoff_margin is not None:
+                last_eos = c[4]                      # (B, K)
+                all_ended = jnp.all(last_eos >= 0)
+                cut = all_ended & (
+                    t >= jnp.max(last_eos) + 1 + length_cutoff_margin)
+                keep_going &= jnp.logical_not(cut)
+            return (t < T) & keep_going
 
         def body(carry):
             t, c = carry

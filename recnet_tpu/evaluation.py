@@ -59,8 +59,14 @@ def decode_batch(decoder_params, dcfg, videos, search_method, max_len: int,
 
 def evaluate(tc, corpus, decoder_params, dcfg, search_method,
              predictions_fpath: Optional[str] = "predictions.txt",
-             n_test: Optional[int] = None, mesh=None) -> Dict[str, float]:
-    """Full score-set decode + metric pass (reference: eval.py:123-169)."""
+             n_test: Optional[int] = None, mesh=None,
+             score_on_host: bool = True) -> Dict[str, float]:
+    """Full score-set decode + metric pass (reference: eval.py:123-169).
+
+    ``score_on_host=False`` skips the host-side CaptionScorer pass and
+    returns ``{}`` — used by non-primary ranks in multi-host runs, which
+    must participate in the SPMD decode but would otherwise burn host CPU
+    recomputing scores that only the primary logs (ADVICE r2)."""
     n_test = n_test if n_test is not None else tc.n_test
     eos = corpus.vocab.word2idx["<EOS>"]
 
@@ -81,6 +87,9 @@ def evaluate(tc, corpus, decoder_params, dcfg, search_method,
         with open(predictions_fpath, "w") as fout:
             for vid, caption in zip(total_vids, total_pd):
                 fout.write("{}\t\t{}\n".format(vid, caption))
+
+    if not score_on_host:
+        return {}
 
     pd_dict = defaultdict(list)
     for vid, caption in zip(total_vids, total_pd):

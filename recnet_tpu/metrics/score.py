@@ -44,17 +44,17 @@ def res_from_dict(pd_vid_caption_dict: Dict[str, List[str]]
 _meteor_warned = False
 
 
-def _warn_meteor_once():
-    """One-time notice: METEOR here is the pure-Python 2007-formulation
-    scorer, not the meteor-1.5 jar — values are not comparable to jar-based
-    published numbers (metrics/meteor.py docstring for details)."""
+def _warn_meteor_once(version: str = "2007"):
+    """One-time notice: METEOR here is pure Python, not the meteor-1.5 jar —
+    values are not comparable to jar-based published numbers
+    (metrics/meteor.py docstring for details)."""
     global _meteor_warned
     if not _meteor_warned:
         _meteor_warned = True
         import sys
-        print("[recnet_tpu] note: METEOR is a pure-Python 2007-formulation "
-              "scorer (no WordNet/paraphrase modules); do not compare it "
-              "against meteor-1.5.jar-based published numbers.",
+        print(f"[recnet_tpu] note: METEOR is a pure-Python scorer "
+              f"(version={version}; no WordNet/paraphrase modules); do not "
+              f"compare it against meteor-1.5.jar-based published numbers.",
               file=sys.stderr)
 
 
@@ -63,9 +63,11 @@ class CaptionScorer:
 
     def __init__(self, gts: Dict[str, List[dict]],
                  res: Dict[str, List[dict]],
-                 image_ids: Sequence[str] | None = None):
+                 image_ids: Sequence[str] | None = None,
+                 meteor_version: str = "2007"):
         self.gts_raw = gts
         self.res_raw = res
+        self.meteor_version = meteor_version
         self.params = {"image_id": list(image_ids) if image_ids is not None
                        else list(gts.keys())}
         self.eval: Dict[str, float] = {}
@@ -81,10 +83,10 @@ class CaptionScorer:
         gts = tok.tokenize(gts)
         res = tok.tokenize(res)
 
-        _warn_meteor_once()
+        _warn_meteor_once(self.meteor_version)
         scorers = [
             (Bleu(4), ["Bleu_1", "Bleu_2", "Bleu_3", "Bleu_4"]),
-            (Meteor(), "METEOR"),
+            (Meteor(version=self.meteor_version), "METEOR"),
             (Rouge(), "ROUGE_L"),
             (Cider(), "CIDEr"),
         ]

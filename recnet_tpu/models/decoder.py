@@ -282,10 +282,9 @@ def _tf_rollout_fwd(cell_type, att, w_enc, w_hh, b_hh, enc, uv, gi_emb):
 
 def _tf_rollout_bwd(cell_type, res, dhs):
     att, w_enc, w_hh, enc, uv, hs, cs, acts, scores, ctxs = res
-    B, F, E2 = enc.shape
+    B, F, _ = enc.shape
     H = w_hh.shape[0]
-    dtype = enc.dtype
-    z0 = jnp.zeros((B, H), dtype)
+    z0 = jnp.zeros((B, H), enc.dtype)
     h_prev = jnp.concatenate([z0[None], hs[:-1]], 0)
     c_prev = jnp.concatenate([z0[None], cs[:-1]], 0)
     w_vec = att["w"][:, 0]

@@ -55,12 +55,33 @@ def initialize(coordinator_address: Optional[str] = None,
     ``initialization_timeout``) pass through to
     ``jax.distributed.initialize``.
     """
-    explicit = num_processes is not None
-    env = os.environ.get("JAX_NUM_PROCESSES")
-    if not explicit and env is None:
+    env_np = os.environ.get("JAX_NUM_PROCESSES")
+    coord = (coordinator_address
+             or os.environ.get("JAX_COORDINATOR_ADDRESS"))
+    n_known = (num_processes if num_processes is not None
+               else (int(env_np) if env_np is not None else None))
+    # Engage the process group when ANY bootstrap signal is present: an
+    # explicit process count, a coordinator address (flag or env), an
+    # explicit process id, or a TPU-pod environment whose metadata JAX can
+    # auto-detect. Previously only num_processes/JAX_NUM_PROCESSES
+    # triggered initialization, so --coordinator alone silently trained
+    # independent single-process models on every host (ADVICE r2, medium).
+    any_signal = (n_known is not None or coord is not None
+                  or process_id is not None
+                  or os.environ.get("JAX_PROCESS_ID") is not None
+                  or _tpu_pod_detected())
+    if not any_signal:
         return  # single-process run
-    if int(num_processes if explicit else env) <= 1:
+    if n_known is not None and n_known <= 1:
         return
+    if n_known is None and coord is None and not _tpu_pod_detected():
+        # e.g. only --process_id given: cannot resolve the group; failing
+        # loudly beats silently training a detached model per host.
+        raise ValueError(
+            "distributed.initialize: process_id given but neither a "
+            "process count (--num_processes / JAX_NUM_PROCESSES) nor a "
+            "coordinator address (--coordinator / JAX_COORDINATOR_ADDRESS) "
+            "is set, and no TPU-pod environment was detected")
     if cpu_collectives:
         jax.config.update("jax_cpu_collectives_implementation",
                           cpu_collectives)
@@ -70,6 +91,17 @@ def initialize(coordinator_address: Optional[str] = None,
         process_id=process_id,
         local_device_ids=local_device_ids,
         **kwargs)
+
+
+def _tpu_pod_detected() -> bool:
+    """Heuristic for a TPU-pod slice whose topology JAX auto-detects.
+
+    Cloud TPU VMs expose the pod metadata through these env vars (set by
+    the TPU runtime); when present, ``jax.distributed.initialize()`` can
+    resolve coordinator/rank/count on its own with no arguments.
+    """
+    return any(os.environ.get(k) for k in (
+        "TPU_WORKER_HOSTNAMES", "TPU_WORKER_ID", "MEGASCALE_COORDINATOR_ADDRESS"))
 
 
 def process_count() -> int:

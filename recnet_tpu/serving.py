@@ -27,14 +27,22 @@ class Captioner:
 
     def __init__(self, tc, vocab, dec_params, *, dtype: str = "bfloat16",
                  batch_size: int = 1024, use_pallas: bool = False,
-                 mesh=None):
+                 mesh=None, beam_length_margin: Optional[int] = 2):
         """``mesh`` (a jax.sharding.Mesh with a 'data' axis, e.g. from
         parallel.mesh.make_mesh) enables multi-chip data-parallel serving:
         params replicate, each request chunk is batch-sharded, and GSPMD
         parallelizes the jitted decode across the mesh — no code change to
         the decode functions themselves. batch_size must divide by the
-        'data' axis size. (The reference is strictly single-device.)"""
+        'data' axis size. (The reference is strictly single-device.)
+
+        ``beam_length_margin``: serving-mode beam cutoff — stop decoding
+        ``margin`` steps after every beam has emitted <EOS> instead of
+        running to max_len (the all-<PAD> stop rarely triggers). Sentence
+        output is pinned identical to the full scan at margin>=2 by
+        tests/test_decoding.py; set None for the exact full-length search
+        (what evaluation uses)."""
         self.tc = tc
+        self.beam_length_margin = beam_length_margin
         self.vocab = vocab
         self.dcfg = dec_mod.config_from_train(tc, vocab.n_vocabs)
         self.batch_size = batch_size
@@ -65,11 +73,16 @@ class Captioner:
         max_len = self.tc.caption_max_len
         if beam_width:
             pallas = self.use_pallas and jax.default_backend() != "cpu"
-            # no early_exit for beam: the all-candidates-<PAD> stop rarely
-            # triggers (live beams keep non-PAD words), and the while_loop
-            # costs ~8% over the pipelined scan when it runs to max_len
+            # length-cutoff serving heuristic: the all-candidates-<PAD>
+            # stop rarely triggers (live beams keep non-PAD words), so the
+            # while_loop only pays off with the margin cutoff; without a
+            # margin, the pipelined full scan is ~8% faster than a
+            # while_loop that runs to max_len anyway
+            margin = self.beam_length_margin
             res = beam_decode(self.params, self.dcfg, videos, beam_width,
-                              max_len, use_pallas_topk=pallas)
+                              max_len, use_pallas_topk=pallas,
+                              early_exit=margin is not None,
+                              length_cutoff_margin=margin)
             return np.asarray(res.tokens)[:, : int(res.n_steps)].T
         if self.use_pallas and jax.default_backend() != "cpu":
             from recnet_tpu.decoding import greedy_decode_whole

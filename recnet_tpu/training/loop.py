@@ -135,9 +135,12 @@ def train(tc: TrainConfig, debug: bool = False, loss_only: bool = False,
                             save_dir, iteration, state, tc, vocab,
                             backend=ckpt_backend,
                             extra={"emergency": True, "loss": train_loss})
+                    where = (f"emergency checkpoint saved to {path}"
+                             if path is not None
+                             else "emergency checkpoint saved by primary")
                     raise FloatingPointError(
                         f"non-finite training loss {train_loss} at iteration "
-                        f"{iteration}; emergency checkpoint saved to {path}")
+                        f"{iteration}; {where}")
                 dt = time.time() - t_start
                 steps_sec = (tc.log_every if not debug else 1) / max(dt, 1e-9)
                 if writer:
@@ -255,7 +258,7 @@ def _test(tc, corpus, state, dcfg, writer, iteration, mesh=None, say=print,
         sm_id = tc.search_method_id(search_method)
         scores = evaluate(tc, corpus, state.dec_params, dcfg, search_method,
                           predictions_fpath="predictions.txt" if primary
-                          else None, mesh=mesh)
+                          else None, mesh=mesh, score_on_host=primary)
         summary = " ".join("{}: {:.3f}".format(s, scores[s])
                            for s in tc.scores if s in scores)
         say("\t{}: {}".format(sm_id, summary))

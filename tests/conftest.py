@@ -23,6 +23,39 @@ jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 
+# Build the C++ _fastmetrics extension for this session if it isn't built
+# yet (VERDICT r2: a fresh clone silently skipped the 4 extension tests).
+# Runs at collection time — before test modules import
+# recnet_tpu.native.HAVE_FASTMETRICS. Skips quietly only when no compiler
+# exists; a failed build with a compiler present is a loud error.
+import importlib.util as _ilu  # noqa: E402
+import shutil as _shutil  # noqa: E402
+import subprocess as _sp  # noqa: E402
+import sys as _sys  # noqa: E402
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _ilu.find_spec("recnet_tpu.native._fastmetrics") is None:
+    if _shutil.which("c++") or _shutil.which("g++") or _shutil.which("cc"):
+        _build = _sp.run(
+            [_sys.executable, "setup.py", "build_ext", "--inplace"],
+            cwd=_REPO, capture_output=True, text=True, timeout=300)
+        if _build.returncode != 0:
+            raise RuntimeError(
+                "building recnet_tpu.native._fastmetrics failed (a C++ "
+                "compiler exists, so this is a real error):\n"
+                + _build.stdout[-2000:] + _build.stderr[-2000:])
+        # find_spec imported the parent package, which cached
+        # HAVE_FASTMETRICS=False before the build — re-evaluate it
+        import importlib as _importlib
+        _importlib.invalidate_caches()
+        import recnet_tpu.native as _native
+        _importlib.reload(_native)
+        assert _native.HAVE_FASTMETRICS, \
+            "_fastmetrics built but still not importable"
+    else:
+        print("conftest: no C++ compiler found; _fastmetrics tests will "
+              "be skipped", file=_sys.stderr)
+
 
 @pytest.fixture(scope="session")
 def rng():

@@ -2,12 +2,16 @@
 
 The driver runs bench.py at the end of every round; these tests pin the
 properties that keep it from reporting garbage in a degraded remote-compile
-phase (subprocess attempts, cheapest-first lock-in, timeout fallback, one
-JSON line on stdout).
+phase (subprocess attempts, cheapest-first lock-in, timeout fallback) and —
+round 3 — the STREAMING output contract: the current-best JSON line is
+printed after every completed attempt, so an external kill can never null
+the artifact (the driver parses the tail; last line wins).
 """
 
 import json
 import subprocess
+
+import pytest
 
 import bench
 
@@ -18,14 +22,23 @@ class _FakeProc:
         self.stderr = ""
 
 
-def _run_main(monkeypatch, capsys, runner, budget="2700"):
+def _parse_lines(capsys):
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert lines, "must print at least one stdout line"
+    parsed = [json.loads(l) for l in lines]
+    values = [p["value"] for p in parsed]
+    assert values == sorted(values), \
+        f"streamed values must be monotonically non-decreasing: {values}"
+    return parsed
+
+
+def _run_main(monkeypatch, capsys, runner, budget="1100"):
     monkeypatch.setenv("BENCH_BUDGET_S", budget)
-    monkeypatch.setenv("BENCH_ATTEMPT_S", "720")
+    monkeypatch.setenv("BENCH_ATTEMPT_S", "480")
+    monkeypatch.setenv("BENCH_FIRST_ATTEMPT_S", "300")
     monkeypatch.setattr(subprocess, "run", runner)
     bench.main()
-    out = capsys.readouterr().out.strip().splitlines()
-    assert len(out) == 1, f"must print exactly one stdout line, got {out}"
-    return json.loads(out[-1])
+    return _parse_lines(capsys)[-1]  # driver contract: last line wins
 
 
 def test_best_attempt_wins(monkeypatch, capsys):
@@ -85,3 +98,49 @@ def test_total_failure_still_prints_valid_json(monkeypatch, capsys):
     out = _run_main(monkeypatch, capsys, fake_run)
     assert out["value"] == 0.0
     assert out["metric"] == "captions_per_sec_greedy"
+
+
+def test_result_streamed_before_later_attempts(monkeypatch, capsys):
+    """The kill-proofing property itself: after attempt 1 completes, its
+    result must ALREADY be on stdout — simulated here by killing the run
+    (KeyboardInterrupt, which bench's per-attempt `except Exception` does
+    not swallow) during attempt 2 and checking the captured tail parses."""
+    def fake_run(cmd, **kw):
+        code = cmd[-1]
+        batch = int(code.split("(")[1].split(",")[0])
+        if batch != 1024:
+            raise KeyboardInterrupt  # external kill mid-attempt-2
+        return _FakeProc(json.dumps(
+            {"captions_per_sec": 33000.0, "device": "TPU v5 lite0"}))
+
+    monkeypatch.setenv("BENCH_BUDGET_S", "1100")
+    monkeypatch.setenv("BENCH_ATTEMPT_S", "480")
+    monkeypatch.setenv("BENCH_FIRST_ATTEMPT_S", "300")
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    with pytest.raises(KeyboardInterrupt):
+        bench.main()
+    tail = _parse_lines(capsys)[-1]
+    assert tail["value"] == 33000.0
+    assert tail["detail"]["batch_size"] == 1024
+
+
+def test_every_completed_attempt_streams_a_line(monkeypatch, capsys):
+    """One JSON line per completed attempt plus the final summary; all
+    parse; values never regress."""
+    rates = {1024: 30000.0, 4096: 80000.0, 16384: 150000.0, 32768: 185000.0}
+
+    def fake_run(cmd, **kw):
+        code = cmd[-1]
+        batch = int(code.split("(")[1].split(",")[0])
+        return _FakeProc(json.dumps(
+            {"captions_per_sec": rates[batch], "device": "TPU v5 lite0"}))
+
+    monkeypatch.setenv("BENCH_BUDGET_S", "1100")
+    monkeypatch.setenv("BENCH_ATTEMPT_S", "480")
+    monkeypatch.setenv("BENCH_FIRST_ATTEMPT_S", "300")
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    bench.main()
+    parsed = _parse_lines(capsys)
+    # 5 attempts + 1 final summary
+    assert len(parsed) == len(bench.ATTEMPTS) + 1
+    assert parsed[-1]["value"] == parsed[-2]["value"] == 185000.0

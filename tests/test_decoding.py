@@ -222,3 +222,48 @@ def test_beam_early_exit_matches_scan(cell_type, K):
     # agree to f32 rounding (tokens above are exact)
     np.testing.assert_allclose(np.asarray(a.scores), np.asarray(b.scores),
                                rtol=1e-5)
+
+
+@pytest.mark.parametrize("cell_type", ["GRU", "LSTM"])
+def test_beam_saturated_logits_tie_break_by_word_index(cell_type):
+    """Round-2's documented edge, now guarded (decoding.py per_beam_topk):
+    two DISTINCT logits saturating log_sigmoid to exactly 0.0 must rank by
+    word index (the flat-top-K tie order), not by raw logit. Constructed
+    by zeroing out_w and planting two saturated biases — log_sigmoid(110)
+    == log_sigmoid(111) == 0.0 exactly (exp(-110) underflows even the
+    subnormal range), so a flat top-K over the scores ties and keeps the
+    LOWER word index first despite its smaller raw logit."""
+    cfg, params, enc = _setup(cell_type, 0, peaky=False)
+    params = dict(params)
+    params["out_w"] = params["out_w"] * 0.0
+    wa, wb = 5, 9                      # wa < wb, logit(wa) < logit(wb)
+    out_b = np.zeros(V, np.float32)
+    out_b[wa] = 110.0
+    out_b[wb] = 111.0
+    params["out_b"] = jnp.asarray(out_b)
+    res = beam_decode(params, cfg, jnp.asarray(enc), 3, MAX_LEN)
+    assert np.asarray(res.tokens)[:, 0].tolist() == [wa] * B
+
+
+@pytest.mark.parametrize("cell_type,K,seed", [("GRU", 5, 0), ("GRU", 3, 1),
+                                              ("LSTM", 3, 2)])
+def test_beam_length_cutoff_sentences_match_full_scan(cell_type, K, seed):
+    """Serving length-cutoff (stop margin steps after every beam has an
+    EOS): the returned top-beam SENTENCE (tokens up to first EOS) must
+    match the full fixed-length scan. Peaky models terminate early, so the
+    cutoff actually engages (verified via n_steps < scan steps when the
+    cutoff fires before max_len)."""
+    from recnet_tpu.decoding import tokens_to_sentences
+
+    cfg, params, enc = _setup(cell_type, seed)   # peaky -> EOS early
+    full = beam_decode(params, cfg, jnp.asarray(enc), K, MAX_LEN)
+    cut = beam_decode(params, cfg, jnp.asarray(enc), K, MAX_LEN,
+                      early_exit=True, length_cutoff_margin=2)
+    idx2word = {i: f"w{i}" for i in range(V)}
+    idx2word[EOS] = "<EOS>"
+    s_full = tokens_to_sentences(
+        np.asarray(full.tokens)[:, : int(full.n_steps)].T, idx2word, EOS)
+    s_cut = tokens_to_sentences(
+        np.asarray(cut.tokens)[:, : int(cut.n_steps)].T, idx2word, EOS)
+    assert s_full == s_cut
+    assert int(cut.n_steps) <= int(full.n_steps)

@@ -345,3 +345,70 @@ def test_ptb_tokenizer_clean_caption_domain_is_identity():
         sent = " ".join(rng.choice(words, n))
         out = tok.tokenize({"x": [{"caption": sent}]})["x"][0]
         assert out == sent, (sent, out)
+
+
+# --- METEOR 1.5 mode (Denkowski & Lavie 2014 parameterization) ---
+
+def test_meteor15_golden_exact_matches():
+    """Hand-computed from the Meteor Universal equations (paper §2.1) with
+    the English parameters alpha=.85 beta=.2 gamma=.6 delta=.75.
+    hyp 'the cat sat on the mat' / ref 'the cat was on the mat':
+    matches = the,cat,on,the,mat (all exact, w=1), chunks=2, m=5;
+    function words: the,on,was; content: cat,sat,mat."""
+    from recnet_tpu.metrics import meteor as M
+    st = M._segment_stats_15("the cat sat on the mat",
+                             "the cat was on the mat")
+    assert (st.m, st.chunks) == (5.0, 2)
+    p = 2.25 / 3.0      # (3*.25 + 2*.75) / (3*.25 + 3*.75)
+    r = 2.25 / 2.5      # same matched mass / (4*.25 + 2*.75)
+    fmean = p * r / (0.85 * p + 0.15 * r)
+    pen = 0.6 * (2 / 5) ** 0.2
+    assert abs(M._score_from_stats_15(st) - fmean * (1 - pen)) < 1e-12
+
+
+def test_meteor15_golden_stem_matches():
+    """Stem-module matches carry w=0.6 into the delta-weighted numerators.
+    hyp 'dogs barked' / ref 'the dog barks': no exact matches; stem aligns
+    dogs~dog, barked~barks (one chunk). All matched words are content."""
+    from recnet_tpu.metrics import meteor as M
+    st = M._segment_stats_15("dogs barked", "the dog barks")
+    assert (st.m, st.chunks) == (2.0, 1)
+    p = (0.6 * 0.75 * 2) / (0.75 * 2)
+    r = (0.6 * 0.75 * 2) / (0.75 * 2 + 0.25)
+    fmean = p * r / (0.85 * p + 0.15 * r)
+    pen = 0.6 * (1 / 2) ** 0.2
+    assert abs(M._score_from_stats_15(st) - fmean * (1 - pen)) < 1e-12
+
+
+def test_meteor15_perfect_and_disjoint():
+    m = Meteor(version="1.5")
+    score, per = m.compute_score({"a": ["the cat sat"]},
+                                 {"a": ["the cat sat"]})
+    # identical sentences: P=R=1, fmean=1, but the WMT-rank-tuned English
+    # parameters (beta=.2, gamma=.6) do NOT vanish for a single chunk the
+    # way 2007's beta=3 does — the jar is known to score identical
+    # sentences ~0.5-0.6, and this mode reproduces that property:
+    # pen = .6*(1/3)^.2
+    assert abs(score - (1 - 0.6 * (1 / 3) ** 0.2)) < 1e-12
+    score0, _ = m.compute_score({"a": ["completely different words"]},
+                                {"a": ["nothing matches here"]})
+    assert score0 == 0.0
+
+
+def test_meteor15_corpus_aggregates_stats():
+    """Corpus score comes from aggregated sufficient statistics (the jar's
+    EVAL semantics), not the mean of segment scores."""
+    from recnet_tpu.metrics import meteor as M
+    gts = {"a": ["the cat sat on the mat"], "b": ["a dog runs fast"]}
+    res = {"a": ["the cat sat"], "b": ["a dog walks slowly"]}
+    corpus, per = Meteor(version="1.5").compute_score(gts, res)
+    agg = M._Stats15()
+    for iid in gts:
+        agg += M._segment_stats_15(res[iid][0], gts[iid][0])
+    assert abs(corpus - M._score_from_stats_15(agg)) < 1e-12
+    assert corpus != pytest.approx(float(np.mean(per)))
+
+
+def test_meteor_version_validation():
+    with pytest.raises(ValueError):
+        Meteor(version="9000")
