@@ -113,34 +113,27 @@ def _measure_single(batch: int, path: str, block_b: int) -> None:
         fn = lambda v: greedy_decode(
             params, dcfg, v, tc.caption_max_len, unroll=4)
 
-    # AOT split so compile time is attributable separately from the first
-    # execution (over the axon tunnel both can independently take minutes
-    # in a degraded phase).
-    jitted = jax.jit(fn)
+    # First call runs through the NORMAL jit path — greedy_decode /
+    # greedy_decode_whole are already @jax.jit, so this is the exact
+    # program the .jax_cache was pre-warmed with (an AOT
+    # jax.jit(fn).lower().compile() wrapper was tried and produced a
+    # DIFFERENT outer HLO that cache-missed and recompiled for minutes).
+    # np.asarray forces completion + fetch (the axon tunnel's
+    # block_until_ready returns early, so timing must fetch).
     t0 = time.perf_counter()
-    lowered = jitted.lower(videos)
-    t_lower = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    compiled = lowered.compile()
-    t_compile = time.perf_counter() - t0
-    _log(f"[child {path}/B={batch}] trace+lower: {t_lower:.1f}s  "
-         f"compile: {t_compile:.1f}s")
-
-    # warmup; np.asarray forces completion + fetch (the axon tunnel's
-    # block_until_ready returns early, so timing must fetch)
-    t0 = time.perf_counter()
-    out = compiled(videos)
-    t_exec = time.perf_counter() - t0
-    t0 = time.perf_counter()
+    out = fn(videos)
+    t_dispatch = time.perf_counter() - t0   # trace+compile(or cache hit)+enqueue
     np.asarray(out.tokens)
-    t_fetch = time.perf_counter() - t0
-    warm = t_exec + t_fetch
-    _log(f"[child {path}/B={batch}] first call: dispatch {t_exec:.1f}s + "
-         f"fetch {t_fetch:.1f}s")
+    t_first = time.perf_counter() - t0
+    _log(f"[child {path}/B={batch}] first call: {t_first:.1f}s "
+         f"(dispatch incl. compile/cache-load {t_dispatch:.1f}s, "
+         f"fetch {t_first - t_dispatch:.1f}s)")
     t0 = time.perf_counter()
-    np.asarray(compiled(videos).tokens)
-    warm = min(warm, time.perf_counter() - t0)
-    _log(f"[child {path}/B={batch}] warm call: {warm:.1f}s")
+    np.asarray(fn(videos).tokens)
+    warm = min(t_first, time.perf_counter() - t0)
+    _log(f"[child {path}/B={batch}] warm call: "
+         f"{time.perf_counter() - t0:.1f}s")
+    compiled = fn
     # adapt the measurement volume to the observed per-call latency so a
     # degraded tunnel phase (30+ s per call observed) can't blow the
     # attempt window; a good phase keeps the full best-of-4 x 5

@@ -289,35 +289,45 @@ def _tf_rollout_bwd(cell_type, res, dhs):
     c_prev = jnp.concatenate([z0[None], cs[:-1]], 0)
     w_vec = att["w"][:, 0]
 
+    # The attention activation at every step is a function of h_prev only —
+    # ALL of which is known before the backward scan — so materialize it
+    # once (one stacked matmul + one (T,B,F,A) tanh chain) instead of
+    # recomputing wh/tanh inside every backward step, and strip the scan
+    # carry down to the true recurrence (dh, dc): the attention weight and
+    # uv gradients contract OUT of the scan from emitted per-step
+    # cotangents, the same construction already used for w_ih/w_hh/d(enc).
+    # (Round-3 follow-up to the "decoder backward attention chain" headroom
+    # item; the in-scan (B,F,A) work shrinks to the one contraction the
+    # dh_prev recurrence genuinely needs.)
+    WH = jnp.einsum("tbh,ha->tba", h_prev, att["W"])
+    ACT = jnp.tanh(WH[:, :, None, :] + uv[None] + att["b"])   # (T, B, F, A)
+    U2 = 1.0 - ACT * ACT
+
     def step(carry, xs):
-        dh_next, dc_next, d_uv, dW, dw, db = carry
-        dout, act_t, h_pv, c_pv, c_t = xs
+        dh_next, dc_next = carry
+        dout, act_t, h_pv, c_pv, c_t, u2_t = xs
         dgi, dgh, dh_prev, dc_prev = rnn_ops.rollout_cell_bwd(
             cell_type, dh_next + dout, dc_next, act_t, h_pv, c_pv, c_t,
             w_hh)
         dctx = dgi @ w_enc.T                                     # (B, enc)
         dscores = jnp.einsum("be,bfe->bf", dctx, enc) / F
-        # attention backward (recompute the activation for this query)
-        wh = h_pv @ att["W"]
-        act = jnp.tanh(wh[:, None, :] + uv + att["b"])
-        d_act = dscores[:, :, None] * w_vec
-        dpre = d_act * (1.0 - act * act)
-        d_uv = d_uv + dpre
-        db = db + dpre.sum((0, 1))
-        dw = dw + jnp.einsum("bfa,bf->a", act, dscores)[:, None]
-        dwh = dpre.sum(1)
-        dW = dW + h_pv.T @ dwh
+        # attention-query gradient — the only attention math the (dh, dc)
+        # recurrence needs in-scan
+        dwh = jnp.einsum("bf,bfa->ba", dscores, u2_t) * w_vec
         dh_prev = dh_prev + dwh @ att["W"].T
-        return (dh_prev, dc_prev, d_uv, dW, dw, db), (dgi, dgh, dctx)
+        return (dh_prev, dc_prev), (dgi, dgh, dctx, dscores, dwh)
 
-    init = (z0, z0, jnp.zeros_like(uv), jnp.zeros_like(att["W"]),
-            jnp.zeros_like(att["w"]), jnp.zeros_like(att["b"]))
     # note: the per-step ``scores`` are NOT threaded through the scan —
     # they are only needed in the out-of-scan d_enc contraction below
-    (dh0, dc0, d_uv, dW, dw, db), (dgi, dgh, dctx) = jax.lax.scan(
-        step, init, (dhs, acts, h_prev, c_prev, cs), reverse=True)
+    (dh0, dc0), (dgi, dgh, dctx, dsc, dwh) = jax.lax.scan(
+        step, (z0, z0), (dhs, acts, h_prev, c_prev, cs, U2), reverse=True)
 
     # stacked out-of-scan contractions
+    dpre = dsc[:, :, :, None] * w_vec * U2                   # (T, B, F, A)
+    d_uv = dpre.sum(0)
+    db = dpre.sum((0, 1, 2))
+    dw = jnp.einsum("tbfa,tbf->a", ACT, dsc)[:, None]
+    dW = jnp.einsum("tbh,tba->ha", h_prev, dwh)
     d_w_enc = jnp.einsum("tbe,tbg->eg", ctxs, dgi)
     d_w_hh = jnp.einsum("tbh,tbg->hg", h_prev, dgh)
     d_b_hh = dgh.sum((0, 1))
