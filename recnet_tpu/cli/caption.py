@@ -27,14 +27,21 @@ def main(argv=None):
                    choices=["bfloat16", "float32"])
     a.add_argument("--mesh", action="store_true",
                    help="data-parallel serving over all visible devices")
+    a.add_argument("--beam_length_margin", type=int, default=2,
+                   help="beam serving cutoff: stop this many steps after "
+                        "every beam has emitted <EOS> (-1 = exact "
+                        "full-length search)")
     args = a.parse_args(argv)
 
     mesh = None
     if args.mesh:
         from recnet_tpu.parallel import mesh as mesh_lib
         mesh = mesh_lib.make_mesh()
+    margin = (None if args.beam_length_margin < 0
+              else args.beam_length_margin)
     captioner = Captioner.from_checkpoint(
-        args.ckpt, dtype=args.dtype, batch_size=args.batch_size, mesh=mesh)
+        args.ckpt, dtype=args.dtype, batch_size=args.batch_size, mesh=mesh,
+        beam_length_margin=margin)
     videos = load_videos_hdf5(args.features)
     vids = list(videos.keys())
     captions = captioner.caption(

@@ -85,9 +85,15 @@ def main(argv=None):
                    default="bfloat16")
     a.add_argument("--mesh", action="store_true",
                    help="data-parallel serving over all visible devices")
+    a.add_argument("--beam_length_margin", type=int, default=2,
+                   help="beam serving cutoff: stop this many steps after "
+                        "every beam has emitted <EOS> (-1 = exact "
+                        "full-length search)")
     args = a.parse_args(argv)
 
-    kw = dict(dtype=args.dtype, batch_size=args.batch_size)
+    kw = dict(dtype=args.dtype, batch_size=args.batch_size,
+              beam_length_margin=(None if args.beam_length_margin < 0
+                                  else args.beam_length_margin))
     if args.mesh:
         from recnet_tpu.parallel import make_mesh
         kw["mesh"] = make_mesh()

@@ -42,6 +42,9 @@ def main(argv=None):
                    help="multi-host: this process's rank")
     a.add_argument("--cpu_collectives", type=str, default=None,
                    help="multi-host on CPU: collective impl (gloo/mpi)")
+    a.add_argument("--steps_per_dispatch", type=int, default=None,
+                   help="train steps per device dispatch (lax.scan over k "
+                        "batches; cadences must divide by k)")
     args = a.parse_args(argv)
     if args.async_ckpt and args.ckpt_backend != "orbax":
         a.error("--async_ckpt requires --ckpt_backend orbax "
@@ -68,6 +71,8 @@ def main(argv=None):
                       for kv in args.mesh_shape.split(","))
         tc = tc.replace(mesh_shape=shape)
         use_mesh = True
+    if args.steps_per_dispatch is not None:
+        tc = tc.replace(steps_per_dispatch=args.steps_per_dispatch)
 
     train(tc, debug=args.debug, loss_only=args.loss_only,
           resume_from=args.resume, use_mesh=use_mesh,

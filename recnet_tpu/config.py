@@ -135,6 +135,9 @@ class TrainConfig:
     search_methods: Tuple[Any, ...] = ("greedy", ("beam", 5))
     scores: Tuple[str, ...] = (
         "Bleu_1", "Bleu_2", "Bleu_3", "Bleu_4", "CIDEr", "METEOR", "ROUGE_L")
+    # METEOR formulation: "2007" (default) or "1.5" (the jar's English
+    # parameterization; see metrics/meteor.py and BASELINE.md for deltas)
+    meteor_version: str = "2007"
 
     # Log cadence (reference: config.py:99-103)
     log_every: int = 500
@@ -149,6 +152,11 @@ class TrainConfig:
     param_dtype: str = "float32"
     mesh_shape: Tuple[Tuple[str, int], ...] = (("data", 1),)  # e.g. (("data",4),("model",2))
     prefetch_depth: int = 2
+    # train steps per device dispatch (one jitted lax.scan over k batches;
+    # training/step.py build_train_multi_step). 1 = the reference's
+    # step-per-dispatch. k>1 removes per-step host dispatch overhead; every
+    # log/validate/test/save cadence must be a multiple of k.
+    steps_per_dispatch: int = 1
     use_pallas: bool = False          # fused Pallas decoder step (falls back to XLA)
 
     # ---- derived (reference: config.py:105-134) ----

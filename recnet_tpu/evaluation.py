@@ -101,5 +101,7 @@ def evaluate(tc, corpus, decoder_params, dcfg, search_method,
     res = res_from_dict(pd_dict)
     # score only vids present in both (batch padding adds none)
     ids = [i for i in gts.keys() if i in res]
-    scorer = CaptionScorer(gts, res, image_ids=ids)
+    scorer = CaptionScorer(gts, res, image_ids=ids,
+                           meteor_version=getattr(tc, "meteor_version",
+                                                  "2007"))
     return scorer.evaluate()

@@ -23,7 +23,8 @@ from recnet_tpu.data import Corpus, cycle, prefetch_to_device
 from recnet_tpu.decoding import tokens_to_sentences
 from recnet_tpu.evaluation import evaluate
 from recnet_tpu.training.step import (
-    init_train_state, build_train_step, build_val_step)
+    init_train_state, build_train_step, build_train_multi_step,
+    build_val_step)
 from recnet_tpu.utils.logging import MetricWriter
 from recnet_tpu import checkpoint as ckpt
 from recnet_tpu.parallel import mesh as mesh_lib
@@ -55,6 +56,25 @@ def train(tc: TrainConfig, debug: bool = False, loss_only: bool = False,
         raise ValueError(
             "multi-process training requires use_mesh=True (one global "
             "mesh); without it each process would train independently")
+    # k>1: one device dispatch drives k steps via lax.scan (config
+    # steps_per_dispatch) — removes per-step host dispatch overhead.
+    # Cadences must land on dispatch boundaries so behavior stays
+    # observationally identical to k=1 (the scan itself is bit-identical,
+    # tests/test_train_step.py).
+    k = max(1, int(getattr(tc, "steps_per_dispatch", 1)))
+    if k > 1:
+        if debug:
+            raise ValueError("debug mode needs steps_per_dispatch=1 "
+                             "(it runs every block every iteration)")
+        for name, every in (("log_every", tc.log_every),
+                            ("validate_every", tc.validate_every),
+                            ("test_every", tc.test_every),
+                            ("save_every", tc.save_every),
+                            ("n_iterations", tc.n_iterations)):
+            if every % k != 0:
+                raise ValueError(
+                    f"{name}={every} must be a multiple of "
+                    f"steps_per_dispatch={k}")
     say = print if primary else (lambda *a, **k: None)
     say(f"MODEL ID: {tc.id}")
     say(f"DEBUG MODE: {'ON' if debug else 'OFF'}")
@@ -77,14 +97,12 @@ def train(tc: TrainConfig, debug: bool = False, loss_only: bool = False,
         say(f"Resumed from {resume_from} at step {meta['step']}")
 
     mesh = None
-    video_sharding = caption_sharding = None
     if use_mesh:
         mesh = mesh_lib.make_mesh(tc.mesh_shape)
         state = mesh_lib.shard_state(state, mesh)
-        video_sharding = mesh_lib.batch_sharding(mesh, 0)
-        caption_sharding = mesh_lib.batch_sharding(mesh, 1)
 
-    train_step = build_train_step(tc, dcfg, rcfg)
+    train_step = (build_train_step(tc, dcfg, rcfg) if k == 1
+                  else build_train_multi_step(tc, dcfg, rcfg, k))
     val_step = build_val_step(tc, dcfg, rcfg)
     rng = jax.random.PRNGKey(tc.seed + 1)
     if multihost:
@@ -95,7 +113,18 @@ def train(tc: TrainConfig, debug: bool = False, loss_only: bool = False,
     def device_batches():
         it = cycle(corpus.train_batcher)
         stripped = ((videos, captions) for _, videos, captions in it)
-        sharding = (video_sharding, caption_sharding) if use_mesh else None
+        if k > 1:
+            def chunked(src):
+                while True:
+                    pairs = [next(src) for _ in range(k)]
+                    yield (np.stack([p[0] for p in pairs]),
+                           np.stack([p[1] for p in pairs]))
+            stripped = chunked(stripped)
+        sharding = None
+        if use_mesh:
+            # the stacked leading (k,) axis shifts the batch dim right by 1
+            sharding = (mesh_lib.batch_sharding(mesh, 0 + (k > 1)),
+                        mesh_lib.batch_sharding(mesh, 1 + (k > 1)))
         yield from prefetch_to_device(stripped, tc.prefetch_depth,
                                       sharding=sharding)
 
@@ -104,22 +133,31 @@ def train(tc: TrainConfig, debug: bool = False, loss_only: bool = False,
     start_iter = int(state.step)
 
     batches = device_batches()
+    iteration = start_iter
+    tracing = False
     try:
-        for iteration, (videos, captions) in enumerate(
-                batches, start_iter + 1):
-            # jax.profiler trace window (new aux capability; SURVEY §5)
-            if profile_dir and iteration == profile_window[0]:
+        for (videos, captions) in batches:
+            # jax.profiler trace window (new aux capability; SURVEY §5);
+            # with k>1 the window snaps to dispatch boundaries
+            if (profile_dir and not tracing
+                    and iteration < profile_window[0] <= iteration + k):
                 jax.profiler.start_trace(profile_dir)
-            if profile_dir and iteration == profile_window[1]:
+                tracing = True
+            elif (profile_dir and tracing
+                    and profile_window[1] <= iteration + k):
                 jax.profiler.stop_trace()
+                tracing = False
             state, metrics = train_step(state, videos, captions, rng)
+            iteration += k
 
             # accumulate on-device; only the log-cadence step forces a host sync
             # (the reference's loss.item() at train.py:275-277 synced every
-            # iteration — a pipeline stall the TPU loop avoids)
-            train_loss = train_loss + metrics["loss"]
-            train_dec = train_dec + metrics["dec_loss"]
-            train_rec = train_rec + metrics["rec_loss"]
+            # iteration — a pipeline stall the TPU loop avoids). With k>1
+            # metrics carry a leading (k,) axis — sum it on device.
+            reduce = (lambda x: x) if k == 1 else jnp.sum
+            train_loss = train_loss + reduce(metrics["loss"])
+            train_dec = train_dec + reduce(metrics["dec_loss"])
+            train_rec = train_rec + reduce(metrics["rec_loss"])
 
             if debug or iteration % tc.log_every == 0:
                 n = tc.log_every * tc.batch_size
@@ -189,6 +227,8 @@ def train(tc: TrainConfig, debug: bool = False, loss_only: bool = False,
                 break
 
     finally:
+        if tracing:
+            jax.profiler.stop_trace()
         # stop the prefetch thread's device transfers on EVERY
         # exit path — a daemon thread mid-device_put during
         # multi-host teardown can wedge the shutdown barrier

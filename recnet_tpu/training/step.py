@@ -119,6 +119,41 @@ def _forward(dec_params, rec_params, dcfg, rcfg, tc_pad, lambda_recon,
 def build_train_step(tc: TrainConfig, dcfg: dec_mod.DecoderConfig,
                      rcfg: Optional[rec_mod.ReconstructorConfig]):
     """Returns jitted fn(state, videos, captions, rng) -> (state, metrics)."""
+    return jax.jit(_make_step_fn(tc, dcfg, rcfg), donate_argnums=(0,))
+
+
+def build_train_multi_step(tc: TrainConfig, dcfg: dec_mod.DecoderConfig,
+                           rcfg: Optional[rec_mod.ReconstructorConfig],
+                           k: int):
+    """k train steps per device dispatch, as one jitted ``lax.scan``.
+
+    fn(state, videos (k,B,F,E), captions (k,T,B), rng)
+      -> (state, metrics with a leading (k,) axis)
+
+    Bit-identical to k sequential :func:`build_train_step` calls with the
+    same ``rng`` (the per-iteration randomness folds ``state.step``, which
+    the scan advances exactly as the outer loop would — pinned by
+    tests/test_train_step.py). Rationale: the per-step program is already
+    one fused XLA computation, but each dispatch still pays the host
+    round-trip (~1-4 ms through remote links, and a non-trivial enqueue
+    even locally); at the reference recipe (B=100, 9 ms device step) that
+    overhead is the gap between device-bound and dispatch-bound wall time.
+    The reference has no analogue — it syncs every iteration
+    (train.py:275-277)."""
+    step_fn = _make_step_fn(tc, dcfg, rcfg)
+
+    def multi_fn(state: TrainState, videos, captions, rng):
+        def body(s, xs):
+            v, c = xs
+            return step_fn(s, v, c, rng)
+
+        return jax.lax.scan(body, state, (videos, captions), length=k)
+
+    return jax.jit(multi_fn, donate_argnums=(0,))
+
+
+def _make_step_fn(tc: TrainConfig, dcfg: dec_mod.DecoderConfig,
+                  rcfg: Optional[rec_mod.ReconstructorConfig]):
     dec_tx = torch_adam(tc.decoder_learning_rate, tc.decoder_weight_decay,
                         amsgrad=tc.decoder_use_amsgrad)
     rec_tx = torch_adam(tc.reconstructor_learning_rate,
@@ -187,7 +222,7 @@ def build_train_step(tc: TrainConfig, dcfg: dec_mod.DecoderConfig,
         }
         return new_state, metrics
 
-    return jax.jit(step_fn, donate_argnums=(0,))
+    return step_fn
 
 
 def build_val_step(tc: TrainConfig, dcfg: dec_mod.DecoderConfig,

@@ -237,3 +237,29 @@ def test_profile_dir_writes_trace(fixture_root, tmp_path):
           save_dir=str(tmp_path / "ck"), log_dir=str(tmp_path / "logs"))
     assert glob.glob(os.path.join(prof, "**", "*.xplane.pb"),
                      recursive=True), "no xplane trace written"
+
+
+def test_train_loop_multi_step_dispatch_matches_k1(fixture_root, tmp_path):
+    """steps_per_dispatch=2: the scanned-dispatch loop must produce the
+    same final parameters as the step-per-dispatch loop (same seed, same
+    batch stream), with cadences firing on dispatch boundaries."""
+    common = dict(n_iterations=4, log_every=2, validate_every=4,
+                  test_every=4, save_every=4,
+                  decoder_learning_rate=1e-3)
+    tc1 = tiny_train_config(fixture_root, **common)
+    tc2 = tiny_train_config(fixture_root, steps_per_dispatch=2, **common)
+
+    s1 = train(tc1, loss_only=True, save_dir=str(tmp_path / "c1"),
+               log_dir=str(tmp_path / "l1"))
+    s2 = train(tc2, loss_only=True, save_dir=str(tmp_path / "c2"),
+               log_dir=str(tmp_path / "l2"))
+    assert int(s1.step) == int(s2.step) == 4
+    for (p, a), (_, b) in zip(
+            jax.tree_util.tree_flatten_with_path(s1.dec_params)[0],
+            jax.tree_util.tree_flatten_with_path(s2.dec_params)[0]):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7,
+            err_msg=jax.tree_util.keystr(p))
+    # both wrote a final checkpoint at step 4
+    assert ckpt.latest_step(str(tmp_path / "c1")) == 4
+    assert ckpt.latest_step(str(tmp_path / "c2")) == 4

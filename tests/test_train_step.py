@@ -145,3 +145,53 @@ def test_invalid_train_precision_rejected():
     state, dcfg, rcfg = init_train_state(jax.random.PRNGKey(0), tc, V)
     with pytest.raises(ValueError, match="train_precision"):
         build_train_step(tc, dcfg, rcfg)
+
+
+@pytest.mark.parametrize("recon", [None, "global"])
+def test_multi_step_matches_sequential(recon, rng):
+    """build_train_multi_step(k): one scanned dispatch over k stacked
+    batches must reproduce k sequential build_train_step calls with the
+    same rng (the per-step randomness folds state.step, which the scan
+    advances identically)."""
+    from recnet_tpu.training.step import build_train_multi_step
+
+    tc = _tiny_tc(use_recon=recon is not None,
+                  reconstructor_type=recon or "global")
+    V = 29
+    k = 4
+    state_a, dcfg, rcfg = init_train_state(jax.random.PRNGKey(0), tc, V)
+    state_b, _, _ = init_train_state(jax.random.PRNGKey(0), tc, V)
+
+    batches = [_batch(rng, tc, V) for _ in range(k)]
+    key = jax.random.PRNGKey(3)
+
+    step = build_train_step(tc, dcfg, rcfg)
+    metrics_seq = []
+    for v, c in batches:
+        state_a, m = step(state_a, v, c, key)
+        metrics_seq.append(m)
+
+    multi = build_train_multi_step(tc, dcfg, rcfg, k)
+    videos_k = jnp.stack([v for v, _ in batches])
+    caps_k = jnp.stack([c for _, c in batches])
+    state_b, ms = multi(state_b, videos_k, caps_k, key)
+
+    assert int(state_b.step) == int(state_a.step) == k
+    for (pa, a), (_, b) in zip(
+            jax.tree_util.tree_flatten_with_path(state_a.dec_params)[0],
+            jax.tree_util.tree_flatten_with_path(state_b.dec_params)[0]):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7,
+            err_msg=jax.tree_util.keystr(pa))
+    for i, m in enumerate(metrics_seq):
+        np.testing.assert_allclose(float(ms["loss"][i]), float(m["loss"]),
+                                   rtol=1e-6)
+
+
+def test_multi_step_loop_cadence_validation(tmp_path):
+    """train() rejects steps_per_dispatch that does not divide a cadence."""
+    from recnet_tpu.training.loop import train
+
+    tc = _tiny_tc(steps_per_dispatch=3, log_every=500)  # 500 % 3 != 0
+    with pytest.raises(ValueError, match="log_every"):
+        train(tc)
