@@ -263,3 +263,16 @@ def test_train_loop_multi_step_dispatch_matches_k1(fixture_root, tmp_path):
     # both wrote a final checkpoint at step 4
     assert ckpt.latest_step(str(tmp_path / "c1")) == 4
     assert ckpt.latest_step(str(tmp_path / "c2")) == 4
+
+
+def test_train_loop_multi_step_on_mesh(fixture_root, tmp_path):
+    """steps_per_dispatch=2 with use_mesh: the stacked (k,) leading axis
+    shifts the batch-sharded dim right by one — the loop must shard
+    videos on axis 1 and captions on axis 2."""
+    tc = tiny_train_config(
+        fixture_root, batch_size=8, n_iterations=4, log_every=2,
+        validate_every=4, test_every=4, save_every=4,
+        steps_per_dispatch=2, mesh_shape=(("data", 4), ("model", 2)))
+    state = train(tc, debug=False, loss_only=True, use_mesh=True,
+                  save_dir=str(tmp_path / "c"), log_dir=str(tmp_path / "l"))
+    assert int(state.step) == 4
