@@ -133,7 +133,6 @@ def _measure_single(batch: int, path: str, block_b: int) -> None:
     warm = min(t_first, time.perf_counter() - t0)
     _log(f"[child {path}/B={batch}] warm call: "
          f"{time.perf_counter() - t0:.1f}s")
-    compiled = fn
     # adapt the measurement volume to the observed per-call latency so a
     # degraded tunnel phase (30+ s per call observed) can't blow the
     # attempt window; a good phase keeps the full best-of-4 x 5
@@ -149,7 +148,7 @@ def _measure_single(batch: int, path: str, block_b: int) -> None:
         t0 = time.perf_counter()
         # dispatch all, then fetch: device serializes compute while D2H
         # overlaps (serving-style pipelining)
-        results = [compiled(videos) for _ in range(n_iters)]
+        results = [fn(videos) for _ in range(n_iters)]
         for r in results:
             np.asarray(r.tokens)
         dt = time.perf_counter() - t0

@@ -22,7 +22,7 @@ Faithful quirks (required for output parity, verified against a NumPy oracle):
 from __future__ import annotations
 
 from functools import partial
-from typing import Dict, NamedTuple
+from typing import Dict, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -199,7 +199,7 @@ def beam_decode(params: Dict, cfg: dec_mod.DecoderConfig,
                 encoder_outputs: jax.Array, beam_width: int,
                 max_len: int, use_pallas_topk: bool = False,
                 unroll: int = 2, early_exit: bool = False,
-                length_cutoff_margin: int = None,
+                length_cutoff_margin: Optional[int] = None,
                 interpret: bool = False) -> BeamResult:
     """Batched beam search (reference: eval.py:36-120), width K, one scan.
 
@@ -243,8 +243,8 @@ def beam_decode(params: Dict, cfg: dec_mod.DecoderConfig,
     eval.py:116-117) — identical output, fewer steps executed when trained
     captions end before max_len (the common serving case).
 
-    ``length_cutoff_margin`` (with ``early_exit``) additionally stops the
-    loop once EVERY beam of every batch row has emitted <EOS> and the
+    ``length_cutoff_margin`` (implies ``early_exit``) additionally stops
+    the loop once EVERY beam of every batch row has emitted <EOS> and the
     current step is ``margin`` past the latest EOS position seen. The
     all-<PAD> stop rarely triggers in practice (live beams keep proposing
     non-PAD words), so this is the serving-oriented cutoff. It is a
@@ -255,6 +255,9 @@ def beam_decode(params: Dict, cfg: dec_mod.DecoderConfig,
     sentence is always a complete (EOS-terminated) candidate. Not part of
     eval paths — evaluation uses the exact scan/while forms.
     """
+    # the cutoff lives in the while_loop's cond — a margin without
+    # early_exit would otherwise be silently ignored by the scan path
+    early_exit = early_exit or (length_cutoff_margin is not None)
     B, F, E = encoder_outputs.shape
     K = beam_width
     V = cfg.vocab_size

@@ -69,12 +69,12 @@ def initialize(coordinator_address: Optional[str] = None,
     any_signal = (n_known is not None or coord is not None
                   or process_id is not None
                   or os.environ.get("JAX_PROCESS_ID") is not None
-                  or _tpu_pod_detected())
+                  or _tpu_multihost_detected())
     if not any_signal:
         return  # single-process run
     if n_known is not None and n_known <= 1:
         return
-    if n_known is None and coord is None and not _tpu_pod_detected():
+    if n_known is None and coord is None and not _tpu_multihost_detected():
         # e.g. only --process_id given: cannot resolve the group; failing
         # loudly beats silently training a detached model per host.
         raise ValueError(
@@ -93,15 +93,20 @@ def initialize(coordinator_address: Optional[str] = None,
         **kwargs)
 
 
-def _tpu_pod_detected() -> bool:
-    """Heuristic for a TPU-pod slice whose topology JAX auto-detects.
+def _tpu_multihost_detected() -> bool:
+    """Heuristic for a MULTI-host TPU pod slice whose topology JAX
+    auto-detects (``jax.distributed.initialize()`` with no arguments).
 
-    Cloud TPU VMs expose the pod metadata through these env vars (set by
-    the TPU runtime); when present, ``jax.distributed.initialize()`` can
-    resolve coordinator/rank/count on its own with no arguments.
+    Deliberately conservative: Cloud TPU runtimes set TPU_WORKER_ID (and a
+    one-entry TPU_WORKER_HOSTNAMES) on every TPU VM including single-host
+    slices, so those alone must NOT trigger a process group — a plain
+    single-host run would then block in initialize() waiting for peers.
+    Only a hostnames list with >1 entry or an explicit megascale
+    coordinator counts as multi-host evidence.
     """
-    return any(os.environ.get(k) for k in (
-        "TPU_WORKER_HOSTNAMES", "TPU_WORKER_ID", "MEGASCALE_COORDINATOR_ADDRESS"))
+    hosts = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+    return ("," in hosts
+            or bool(os.environ.get("MEGASCALE_COORDINATOR_ADDRESS")))
 
 
 def process_count() -> int:

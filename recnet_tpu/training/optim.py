@@ -73,15 +73,21 @@ def torch_adam(learning_rate: float, weight_decay: float = 0.0,
                amsgrad: bool = False) -> optax.GradientTransformation:
     """torch.optim.Adam(lr, weight_decay, amsgrad) as ONE fused transform.
 
-    Mathematically identical to the chain
-    ``add_decayed_weights -> scale_by_torch_adam -> scale(-lr)`` (same
-    per-element operation order), but written as a single per-leaf
-    expression so XLA emits one fusion per parameter tensor instead of
-    one per chain stage — the reconstructor's (1536, 6144) w_hh moment
-    tensors otherwise make three round-trips through HBM per step
-    (round-3 train-step headroom item). State leaves are (count, mu, nu
-    [, nu_max]) exactly as :func:`scale_by_torch_adam` keeps them, so
-    checkpoints restore across both forms.
+    Bit-identical to the previous chain
+    ``add_decayed_weights -> scale_by_torch_adam -> scale(-lr)`` — same
+    per-element operation order, including the final multiply by ``-lr``
+    happening AFTER the m̂/denom division exactly as ``optax.scale`` did —
+    but written as a single per-leaf expression so XLA emits one fusion
+    per parameter tensor instead of one per chain stage: the
+    reconstructor's (1536, 6144) w_hh moment tensors otherwise make
+    three round-trips through HBM per step (round-3 headroom item).
+
+    The returned transformation is wrapped with ``optax.identity`` pads
+    so its state pytree has the exact treedef the old chain produced
+    ((EmptyState, TorchAdamState, EmptyState) with weight decay,
+    (TorchAdamState, EmptyState) without) — checkpoint.load_checkpoint
+    fingerprints the treedef, so checkpoints saved before and after the
+    fusion restore interchangeably (tests/test_optim.py pins this).
     """
     def init_fn(params):
         return TorchAdamState(
@@ -107,7 +113,10 @@ def torch_adam(learning_rate: float, weight_decay: float = 0.0,
             m = m + (1 - b1) * (g - m)
             v = b2 * v + (1 - b2) * g * g
             d = jnp.maximum(vmax, v) if amsgrad else v
-            upd = -learning_rate * (m / bc1) / (jnp.sqrt(d) / sqrt_bc2 + eps)
+            # divide first, scale by -lr LAST — the old chain's rounding
+            # (scale_by_torch_adam emitted m̂/denom, then optax.scale
+            # multiplied by -lr); keeps the fused form bit-identical
+            upd = (m / bc1) / (jnp.sqrt(d) / sqrt_bc2 + eps) * -learning_rate
             return upd, m, v, d
 
         p_tree = params if weight_decay else updates   # placeholder ok
@@ -120,7 +129,11 @@ def torch_adam(learning_rate: float, weight_decay: float = 0.0,
         return pick(0), TorchAdamState(count, pick(1), pick(2),
                                        pick(3) if amsgrad else None)
 
-    return optax.GradientTransformation(init_fn, update_fn)
+    fused = optax.GradientTransformation(init_fn, update_fn)
+    # identity pads reproduce the old chain's state treedef (see docstring)
+    if weight_decay:
+        return optax.chain(optax.identity(), fused, optax.identity())
+    return optax.chain(fused, optax.identity())
 
 
 def clip_by_global_norm(grads, max_norm: float):

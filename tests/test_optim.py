@@ -69,3 +69,37 @@ def test_clip_noop_below_threshold():
     clipped, gnorm = clip_by_global_norm(grads, 50.0)
     np.testing.assert_allclose(np.asarray(clipped["a"]),
                                np.asarray(grads["a"]))
+
+
+@pytest.mark.parametrize("wd,amsgrad", [(1e-5, True), (1e-5, False),
+                                        (0.0, True), (0.0, False)])
+def test_fused_adam_matches_legacy_chain_bitwise(wd, amsgrad):
+    """The round-3 fused torch_adam must (a) keep the optimizer-state
+    pytree TREEDEF of the legacy add_decayed_weights -> scale_by ->
+    scale chain (checkpoint.load_checkpoint fingerprints the treedef, so
+    old checkpoints must restore), and (b) produce bit-identical
+    parameter trajectories."""
+    import optax
+    from recnet_tpu.training.optim import scale_by_torch_adam, torch_adam
+
+    params = {"w": jnp.asarray(
+        np.random.default_rng(0).standard_normal(257).astype(np.float32))}
+    legacy = optax.chain(*(
+        ([optax.add_decayed_weights(wd)] if wd else [])
+        + [scale_by_torch_adam(amsgrad=amsgrad), optax.scale(-1e-3)]))
+    fused = torch_adam(1e-3, wd, amsgrad=amsgrad)
+
+    s_l, s_f = legacy.init(params), fused.init(params)
+    assert (jax.tree_util.tree_structure(s_l)
+            == jax.tree_util.tree_structure(s_f))
+
+    rng = np.random.default_rng(1)
+    p_l = p_f = params
+    for _ in range(10):
+        g = {"w": jnp.asarray(rng.standard_normal(257).astype(np.float32))}
+        u_l, s_l = legacy.update(g, s_l, p_l)
+        u_f, s_f = fused.update(g, s_f, p_f)
+        p_l = optax.apply_updates(p_l, u_l)
+        p_f = optax.apply_updates(p_f, u_f)
+        np.testing.assert_array_equal(np.asarray(p_l["w"]),
+                                      np.asarray(p_f["w"]))
