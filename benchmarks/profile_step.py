@@ -29,7 +29,15 @@ import numpy as np
 
 
 def parse_xplane_device_ops(trace_dir: str):
-    """-> (plane_name, {op_name: total_duration_ps}, n_lines)."""
+    """-> (plane_name, module_total_ps, n_modules, {op: duration_ps}).
+
+    Device time per executed program comes from the 'XLA Modules' line —
+    one event per module execution, non-overlapping, so the sum is true
+    device busy time. The 'XLA Ops' line is used only for the per-op
+    attribution table and OVER-counts (its events nest: a while/fusion
+    parent's duration includes its children; async copy-start spans the
+    DMA wait), and 'Async XLA Ops' must not be summed at all.
+    """
     from tensorflow.tsl.profiler.protobuf import xplane_pb2
 
     paths = glob.glob(os.path.join(trace_dir, "**", "*.xplane.pb"),
@@ -42,17 +50,19 @@ def parse_xplane_device_ops(trace_dir: str):
         if "/device:TPU" not in plane.name:
             continue
         meta = {m_id: m.name for m_id, m in plane.event_metadata.items()}
+        module_ps, n_modules = 0, 0
         per_op = defaultdict(int)
-        n_lines = 0
         for line in plane.lines:
-            if "XLA Ops" not in line.name:
-                continue
-            n_lines += 1
-            for ev in line.events:
-                per_op[meta.get(ev.metadata_id, "?")] += ev.duration_ps
-        if per_op:
-            return plane.name, dict(per_op), n_lines
-    raise RuntimeError("no TPU 'XLA Ops' line found in the trace")
+            if line.name == "XLA Modules":
+                for ev in line.events:
+                    module_ps += ev.duration_ps
+                    n_modules += 1
+            elif line.name == "XLA Ops":
+                for ev in line.events:
+                    per_op[meta.get(ev.metadata_id, "?")] += ev.duration_ps
+        if n_modules:
+            return plane.name, module_ps, n_modules, dict(per_op)
+    raise RuntimeError("no TPU 'XLA Modules' line found in the trace")
 
 
 def main():
@@ -103,13 +113,15 @@ def main():
         _ = float(m["loss"])    # force completion inside the trace
     wall = (time.perf_counter() - t0) / args.steps
 
-    plane, per_op, n_lines = parse_xplane_device_ops(args.trace_dir)
-    total_ms = sum(per_op.values()) / 1e9
-    print(f"\nplane: {plane}  ({n_lines} op line(s), "
+    plane, module_ps, n_modules, per_op = \
+        parse_xplane_device_ops(args.trace_dir)
+    print(f"\nplane: {plane}  ({n_modules} module executions, "
           f"{len(per_op)} distinct ops)")
     print(f"traced {args.steps} steps: wall {wall*1e3:.2f} ms/step, "
-          f"DEVICE {total_ms/args.steps:.2f} ms/step")
-    print(f"\ntop {args.top} ops (total over {args.steps} steps):")
+          f"DEVICE {module_ps/1e9/args.steps:.2f} ms/step "
+          f"(XLA Modules line)")
+    print(f"\ntop {args.top} ops by inclusive duration over {args.steps} "
+          f"steps (NESTED — parents include children; attribution only):")
     for name, ps in sorted(per_op.items(), key=lambda kv: -kv[1])[:args.top]:
         print(f"  {ps/1e9:8.3f} ms  {name[:90]}")
 
