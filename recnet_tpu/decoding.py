@@ -244,16 +244,21 @@ def beam_decode(params: Dict, cfg: dec_mod.DecoderConfig,
     captions end before max_len (the common serving case).
 
     ``length_cutoff_margin`` (implies ``early_exit``) additionally stops
-    the loop once EVERY beam of every batch row has emitted <EOS> and the
-    current step is ``margin`` past the latest EOS position seen. The
-    all-<PAD> stop rarely triggers in practice (live beams keep proposing
-    non-PAD words), so this is the serving-oriented cutoff. It is a
-    HEURISTIC: beams keep accumulating score after EOS (the reference
-    semantics), so an extremely late rank flip between already-ended
-    candidates is possible in principle; tests pin sentence-exactness vs
-    the full scan at margin>=2 on the test models, and the returned
-    sentence is always a complete (EOS-terminated) candidate. Not part of
-    eval paths — evaluation uses the exact scan/while forms.
+    the loop once EVERY candidate of every batch row carries a FIRST
+    <EOS> and the current step is ``margin`` past the latest first-EOS
+    position. (First, not the reference's last-EOS length-penalty
+    register: trained captioners keep re-emitting EOS after the first,
+    so last_eos never settles — pinned by
+    test_beam_length_cutoff_engages_on_eos_repeater.) The all-<PAD> stop
+    rarely triggers in practice, so this is the serving-oriented cutoff.
+    It is an APPROXIMATION: beams keep accumulating penalized score
+    after EOS (the reference semantics), so the top slot can reorder
+    after the cutoff point — measured on a fixture-trained model at
+    B=2048/beam-5: 1.94x device speedup at margin 2, with 28% of
+    sentences differing from the exact search (margin-insensitive;
+    benchmarks/profile_beam_cutoff.py). The returned sentence is always
+    a complete EOS-terminated candidate. OFF by default everywhere;
+    evaluation always uses the exact scan/while forms.
     """
     # the cutoff lives in the while_loop's cond — a margin without
     # early_exit would otherwise be silently ignored by the scan path
@@ -362,9 +367,15 @@ def beam_decode(params: Dict, cfg: dec_mod.DecoderConfig,
             x, src.reshape((B, K) + (1,) * (x.ndim - 2)), axis=1)
 
     def step(carry, t):
-        (h, c, tokens, cum_prob, last_eos, history, done, n_steps) = carry
+        (h, c, tokens, cum_prob, last_eos, first_eos, history, done,
+         n_steps) = carry
         # h: (B, K, H) hoisted / (B, K, L, H); c likewise (dummy (1,1,1)
-        # for GRU); tokens, cum_prob, last_eos: (B, K); history: (B, K, T)
+        # for GRU); tokens, cum_prob, last_eos, first_eos: (B, K);
+        # history: (B, K, T). last_eos is the reference's length-penalty
+        # register (tracks the LATEST EOS, eval.py:51-58); first_eos is
+        # sticky — the position each candidate's SENTENCE terminates at —
+        # and exists for the serving length cutoff (trained models keep
+        # re-emitting EOS after the first, so last_eos never settles).
 
         # --- decoder step for all beams at once (shared encoder) ---
         out, nh, nc = beam_decoder_step(tokens, h, c)
@@ -386,6 +397,10 @@ def beam_decode(params: Dict, cfg: dec_mod.DecoderConfig,
             history, src[:, :, None], axis=1).at[:, :, t].set(word)
         new_last_eos = jnp.where(word == cfg.eos_token, t,
                                  jnp.take_along_axis(last_eos, src, axis=1))
+        inherited_first = jnp.take_along_axis(first_eos, src, axis=1)
+        new_first_eos = jnp.where(
+            inherited_first >= 0, inherited_first,
+            jnp.where(word == cfg.eos_token, t, -1))
 
         new_done = done | jnp.all(word == cfg.pad_token)
         n_steps = jnp.where(done, n_steps, t + 1)
@@ -395,6 +410,7 @@ def beam_decode(params: Dict, cfg: dec_mod.DecoderConfig,
         keep = lambda n, o: jnp.where(done, o, n)
         carry = (new_h, new_c, keep(word, tokens),
                  keep(top_val, cum_prob), keep(new_last_eos, last_eos),
+                 keep(new_first_eos, first_eos),
                  keep(new_hist, history), new_done, n_steps)
         return carry, None
 
@@ -408,19 +424,20 @@ def beam_decode(params: Dict, cfg: dec_mod.DecoderConfig,
         h0, c0,
         jnp.full((B, K), cfg.sos_token, jnp.int32),
         init_cum,
-        jnp.full((B, K), -1, jnp.int32),
+        jnp.full((B, K), -1, jnp.int32),     # last_eos (length penalty)
+        jnp.full((B, K), -1, jnp.int32),     # first_eos (serving cutoff)
         jnp.full((B, K, T), cfg.pad_token, jnp.int32),
         jnp.asarray(False), jnp.zeros([], jnp.int32),
     )
     if early_exit:
         def cond(carry):
             t, c = carry
-            keep_going = jnp.logical_not(c[6])       # c[6] = done
+            keep_going = jnp.logical_not(c[7])       # c[7] = done
             if length_cutoff_margin is not None:
-                last_eos = c[4]                      # (B, K)
-                all_ended = jnp.all(last_eos >= 0)
+                first_eos = c[5]                     # (B, K), sticky
+                all_ended = jnp.all(first_eos >= 0)
                 cut = all_ended & (
-                    t >= jnp.max(last_eos) + 1 + length_cutoff_margin)
+                    t >= jnp.max(first_eos) + 1 + length_cutoff_margin)
                 keep_going &= jnp.logical_not(cut)
             return (t < T) & keep_going
 
@@ -429,11 +446,12 @@ def beam_decode(params: Dict, cfg: dec_mod.DecoderConfig,
             c, _ = step(c, t)
             return t + 1, c
 
-        _, (h, c, tokens, cum_prob, last_eos, history, done, n_steps) = \
+        _, (h, c, tokens, cum_prob, last_eos, first_eos, history, done,
+            n_steps) = \
             jax.lax.while_loop(cond, body, (jnp.zeros([], jnp.int32), init))
         return BeamResult(history[:, 0, :], n_steps, cum_prob)
-    (h, c, tokens, cum_prob, last_eos, history, done, n_steps) = \
-        jax.lax.scan(step, init, jnp.arange(T), unroll=unroll)[0]
+    (h, c, tokens, cum_prob, last_eos, first_eos, history, done,
+     n_steps) = jax.lax.scan(step, init, jnp.arange(T), unroll=unroll)[0]
     return BeamResult(history[:, 0, :], n_steps, cum_prob)
 
 

@@ -267,3 +267,33 @@ def test_beam_length_cutoff_sentences_match_full_scan(cell_type, K, seed):
         np.asarray(cut.tokens)[:, : int(cut.n_steps)].T, idx2word, EOS)
     assert s_full == s_cut
     assert int(cut.n_steps) <= int(full.n_steps)
+
+
+def test_beam_length_cutoff_engages_on_eos_repeater():
+    """Trained captioners keep re-emitting <EOS> after the first one, so a
+    cutoff keyed on the reference's last_eos register (which tracks the
+    LATEST EOS for the length penalty) would never fire. The cutoff must
+    key on the sticky FIRST EOS per candidate: construct a model whose
+    beams emit <EOS> every step — the cutoff must stop after
+    first_eos + margin, not run to max_len."""
+    cfg, params, enc = _setup("GRU", 0, peaky=False)
+    params = dict(params)
+    params["out_w"] = params["out_w"] * 0.0
+    out_b = np.zeros(V, np.float32)
+    out_b[EOS] = 10.0                       # EOS always wins, every step
+    out_b[5] = 8.0                          # runner-up fills the beam
+    params["out_b"] = jnp.asarray(out_b)
+
+    full = beam_decode(params, cfg, jnp.asarray(enc), 3, MAX_LEN)
+    cut = beam_decode(params, cfg, jnp.asarray(enc), 3, MAX_LEN,
+                      length_cutoff_margin=2)
+    # every beam's first EOS is t=0 -> stop at t >= 0 + 1 + 2
+    assert int(cut.n_steps) <= 4 < int(full.n_steps)
+    # sentences (cut at first EOS) identical
+    from recnet_tpu.decoding import tokens_to_sentences
+    idx2word = {i: f"w{i}" for i in range(V)}
+    s_full = tokens_to_sentences(
+        np.asarray(full.tokens)[:, : int(full.n_steps)].T, idx2word, EOS)
+    s_cut = tokens_to_sentences(
+        np.asarray(cut.tokens)[:, : int(cut.n_steps)].T, idx2word, EOS)
+    assert s_full == s_cut
