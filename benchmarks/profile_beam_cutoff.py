@@ -6,15 +6,19 @@ engages on models that emit <EOS> then <PAD> (a model that never
 terminates runs to max_len in every variant), so this script first
 OVERFITS a real RecNet decoder on the synthetic MSVD fixture for a few
 hundred iterations — producing genuine caption-length behavior — then
-profiles beam-5 decode over a B=2048 tile of fixture videos three ways:
+profiles beam-5 decode over a B=2048 tile of fixture videos:
 
-  scan     — the exact fixed-length scan (what evaluation uses)
-  while    — early_exit without a cutoff (the reference's all-<PAD> break)
-  cutoff   — early_exit + length_cutoff_margin=2 (serving default)
+  scan      — the exact fixed-length scan (the default everywhere)
+  while     — early_exit without a cutoff (the reference's all-<PAD>
+              break; exact, asserted)
+  cutoffK   — length_cutoff_margin=K for K in {2,4,8} (OPT-IN
+              approximation)
 
-Prints device ms/call for each and the cutoff speedup. Sentence-level
-parity between the variants is asserted inline (the same property
-tests/test_decoding.py pins on CPU).
+Prints device ms/call, the speedup, and — the honest part — how many
+sentences each cutoff variant changed vs the exact search (measured
+r3: 1.94x at margin 2 with 28% sentence churn, margin-insensitive —
+the reference's beam keeps accumulating penalized score after EOS, so
+the top slot reorders late; this is why the cutoff is opt-in).
 
 Caveat: the fixture vocabulary is small (~tens of words), so the vocab
 projection is cheaper than the flagship 4188 — the per-step cost is
@@ -34,6 +38,10 @@ import tempfile
 import time
 
 os.environ.setdefault("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION", "python")
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache"))
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 sys.path.insert(0, os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests"))

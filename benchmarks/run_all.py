@@ -12,6 +12,11 @@ from __future__ import annotations
 import argparse
 import json
 import os
+
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache"))
 import sys
 import time
 
