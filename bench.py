@@ -49,11 +49,17 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 # the cheap attempts need generous timeouts — but with streaming output a
 # slow attempt can no longer lose the earlier results.
 ATTEMPTS = [
+    # cheapest first to lock a result in, then BEST-KNOWN shapes next so
+    # a budget cut still captures the top number (streaming makes later
+    # attempts risk-free). B=49152 is the largest shape that fits HBM
+    # (B=65536 OOMs by 18 MB: the enc operand is resident twice around
+    # the kernel); measured 189k captions/s.
     {"batch": 1024, "path": "xla_unroll4"},
-    {"batch": 4096, "path": "pallas_whole", "block_b": 128},
     {"batch": 16384, "path": "pallas_whole", "block_b": 256},
-    {"batch": 16384, "path": "xla_unroll4"},
+    {"batch": 49152, "path": "pallas_whole", "block_b": 256},
     {"batch": 32768, "path": "pallas_whole", "block_b": 256},
+    {"batch": 4096, "path": "pallas_whole", "block_b": 128},
+    {"batch": 16384, "path": "xla_unroll4"},
 ]
 
 

@@ -42,7 +42,8 @@ def _run_main(monkeypatch, capsys, runner, budget="1100"):
 
 
 def test_best_attempt_wins(monkeypatch, capsys):
-    rates = {1024: 30000.0, 4096: 80000.0, 16384: 150000.0, 32768: 185000.0}
+    rates = {1024: 30000.0, 4096: 80000.0, 16384: 150000.0,
+             32768: 182000.0, 49152: 189000.0}
 
     def fake_run(cmd, **kw):
         code = cmd[-1]
@@ -51,9 +52,9 @@ def test_best_attempt_wins(monkeypatch, capsys):
             {"captions_per_sec": rates[batch], "device": "TPU v5 lite0"}))
 
     out = _run_main(monkeypatch, capsys, fake_run)
-    assert out["value"] == 185000.0
-    assert out["detail"]["batch_size"] == 32768
-    assert out["vs_baseline"] == 18.5
+    assert out["value"] == 189000.0
+    assert out["detail"]["batch_size"] == 49152
+    assert out["vs_baseline"] == 18.9
 
 
 def test_timeouts_keep_earlier_result(monkeypatch, capsys):
@@ -127,7 +128,8 @@ def test_result_streamed_before_later_attempts(monkeypatch, capsys):
 def test_every_completed_attempt_streams_a_line(monkeypatch, capsys):
     """One JSON line per completed attempt plus the final summary; all
     parse; values never regress."""
-    rates = {1024: 30000.0, 4096: 80000.0, 16384: 150000.0, 32768: 185000.0}
+    rates = {1024: 30000.0, 4096: 80000.0, 16384: 150000.0,
+             32768: 182000.0, 49152: 189000.0}
 
     def fake_run(cmd, **kw):
         code = cmd[-1]
@@ -143,4 +145,4 @@ def test_every_completed_attempt_streams_a_line(monkeypatch, capsys):
     parsed = _parse_lines(capsys)
     # 5 attempts + 1 final summary
     assert len(parsed) == len(bench.ATTEMPTS) + 1
-    assert parsed[-1]["value"] == parsed[-2]["value"] == 185000.0
+    assert parsed[-1]["value"] == parsed[-2]["value"] == 189000.0
