@@ -31,6 +31,7 @@ setup(
             "recnet-eval = recnet_tpu.cli.eval:main",
             "recnet-caption = recnet_tpu.cli.caption:main",
             "recnet-serve = recnet_tpu.cli.serve:main",
+            "recnet-import-torch = recnet_tpu.cli.import_torch:main",
         ],
     },
 )
