@@ -399,3 +399,109 @@ def _to_jnp(tree):
         lambda x: jnp.asarray(np.asarray(x), jnp.float32)
         if np.issubdtype(np.asarray(x).dtype, np.floating) else jnp.asarray(x),
         tree)
+
+
+# --------------------------------------------------------------------------
+# Export: our TrainState -> reference torch checkpoint
+# --------------------------------------------------------------------------
+
+def _get_path(tree, path):
+    node = tree
+    for part in path:
+        node = node[part]
+    return node
+
+
+def _fake_sd(n_layers: int, with_attn: bool) -> Dict[str, Any]:
+    """A key-only state_dict standing in for layout construction."""
+    sd: Dict[str, Any] = {f"rnn.weight_ih_l{i}": None for i in range(n_layers)}
+    if with_attn:
+        sd["attn_W.weight"] = None
+    return sd
+
+
+def _state_dict_from_tree(layout: Layout, tree) -> Dict[str, Any]:
+    import torch
+    out = {}
+    for key, path, transpose in layout:
+        # np.array copies — jax arrays surface as non-writable views
+        val = np.array(_get_path(tree, path), dtype=np.float32)
+        out[key] = torch.from_numpy(
+            np.ascontiguousarray(val.T) if transpose else val)
+    return out
+
+
+def adam_state_to_torch(opt_state, layout: Layout, lr: float,
+                        weight_decay: float, amsgrad: bool,
+                        b1: float = 0.9, b2: float = 0.999,
+                        eps: float = 1e-8) -> Dict[str, Any]:
+    """Our torch_adam chain state -> a torch.optim.Adam state_dict.
+
+    ``step`` is written as a plain int (the torch-1.0 form; modern torch's
+    ``Adam.__setstate__`` converts it to a tensor on load) and param_groups
+    carry only the keys torch 1.0 knew — newer torch fills maximize/foreach/
+    capturable defaults itself on load_state_dict.
+    """
+    import torch
+
+    st = next(s for s in opt_state if isinstance(s, TorchAdamState))
+    count = int(np.asarray(st.count))
+    state: Dict[int, Dict[str, Any]] = {}
+    for i, (key, path, transpose) in enumerate(layout):
+        entry: Dict[str, Any] = {"step": count}
+        moments = [("exp_avg", st.mu), ("exp_avg_sq", st.nu)]
+        if amsgrad:
+            moments.append(("max_exp_avg_sq", st.nu_max))
+        for name, tree_m in moments:
+            m = np.array(_get_path(tree_m, path), dtype=np.float32)
+            entry[name] = torch.from_numpy(
+                np.ascontiguousarray(m.T) if transpose else m)
+        state[i] = entry
+    return {
+        "state": state,
+        "param_groups": [{
+            "lr": float(lr), "betas": (float(b1), float(b2)),
+            "eps": float(eps), "weight_decay": float(weight_decay),
+            "amsgrad": bool(amsgrad),
+            "params": list(range(len(layout))),
+        }],
+    }
+
+
+def export_reference_checkpoint(path: str, state: TrainState,
+                                tc: TrainConfig,
+                                loss: Optional[float] = None) -> None:
+    """Write a reference-format ``*_checkpoint.tar`` (train.py:395-418).
+
+    The file is readable by the reference's own py2/torch-1.0 eval.py:
+    legacy (non-zipfile) serialization, pickle protocol 2, int optimizer
+    steps, and the ``'config'`` entry pickled as the ``config.TrainConfig``
+    class *by reference* — exactly the quirk the reference saves, so
+    unpickling next to the reference's config.py resolves to its real
+    class (the class carries no values either way; see module docstring).
+    """
+    import torch
+
+    n_dec_layers = len(state.dec_params["rnn"])
+    dec_layout = _decoder_layout(_fake_sd(n_dec_layers, True))
+    out: Dict[str, Any] = {
+        "iteration": int(np.asarray(state.step)),
+        "dec": _state_dict_from_tree(dec_layout, state.dec_params),
+        "dec_opt": adam_state_to_torch(
+            state.dec_opt, dec_layout, tc.decoder_learning_rate,
+            tc.decoder_weight_decay, tc.decoder_use_amsgrad),
+        "loss": float(loss) if loss is not None else 0.0,
+    }
+    if state.rec_params is not None:
+        n_rec_layers = len(state.rec_params["rnn"])
+        rec_layout = _reconstructor_layout(
+            _fake_sd(n_rec_layers, "attention" in state.rec_params))
+        out["rec"] = _state_dict_from_tree(rec_layout, state.rec_params)
+        out["rec_opt"] = adam_state_to_torch(
+            state.rec_opt, rec_layout, tc.reconstructor_learning_rate,
+            tc.reconstructor_weight_decay, tc.reconstructor_use_amsgrad)
+
+    with _stub_reference_config_module():
+        out["config"] = sys.modules["config"].TrainConfig
+        torch.save(out, path, pickle_protocol=2,
+                   _use_new_zipfile_serialization=False)

@@ -32,6 +32,7 @@ setup(
             "recnet-caption = recnet_tpu.cli.caption:main",
             "recnet-serve = recnet_tpu.cli.serve:main",
             "recnet-import-torch = recnet_tpu.cli.import_torch:main",
+            "recnet-export-torch = recnet_tpu.cli.export_torch:main",
         ],
     },
 )

@@ -314,6 +314,131 @@ def test_import_cli_round_trip(tmp_path):
                                   dec.state_dict()["embedding.weight"].numpy())
 
 
+# --------------------------------------------------------------------------
+# Export: our state -> reference torch format
+# --------------------------------------------------------------------------
+
+@pytest.mark.parametrize("kind", ["global", "local"])
+def test_export_import_roundtrip_bitexact(tmp_path, kind):
+    """export(import(x)) reproduces every tensor of a torch checkpoint
+    bitwise — both weight transposes and optimizer moments, both ways."""
+    dec, dopt = _trained_decoder("LSTM", amsgrad=True, wd=1e-2)
+    torch.manual_seed(5)
+    rec = RefGlobalRecon("GRU") if kind == "global" else RefLocalRecon("GRU")
+    ropt = torch.optim.Adam(rec.parameters(), lr=1e-6, weight_decay=1e-5)
+    _surrogate_recon_step(rec, ropt)
+    path = _save_reference_checkpoint(tmp_path, dec, dopt, rec, ropt)
+
+    ckpt = interop.load_reference_checkpoint(path)
+    state, dcfg, rcfg, tc = interop.train_state_from_reference(ckpt)
+    out = os.path.join(str(tmp_path), "exported.tar")
+    interop.export_reference_checkpoint(out, state, tc, loss=1.23)
+
+    back = interop.load_reference_checkpoint(out)
+    assert back["iteration"] == 40000 and back["loss"] == pytest.approx(1.23)
+    for mod in ("dec", "rec"):
+        for k, want in ckpt[mod].items():
+            np.testing.assert_array_equal(
+                back[mod][k].numpy(), want.numpy(), err_msg=f"{mod}.{k}")
+    for mod in ("dec_opt", "rec_opt"):
+        want_g = ckpt[mod]["param_groups"][0]
+        got_g = back[mod]["param_groups"][0]
+        for key in ("lr", "weight_decay", "amsgrad", "eps"):
+            assert got_g[key] == want_g[key], f"{mod} {key}"
+        assert list(got_g["params"]) == list(want_g["params"])
+        for i, want_e in ckpt[mod]["state"].items():
+            got_e = back[mod]["state"][i]
+            assert int(got_e["step"]) == int(want_e["step"])
+            for name in ("exp_avg", "exp_avg_sq"):
+                np.testing.assert_array_equal(
+                    got_e[name].numpy(), want_e[name].numpy(),
+                    err_msg=f"{mod}[{i}].{name}")
+
+
+def _surrogate_recon_step(rec, opt):
+    for p in rec.parameters():
+        p.grad = 0.1 * p.detach() + 0.01
+    opt.step()
+
+
+@pytest.mark.parametrize("amsgrad", [True, False])
+def test_exported_checkpoint_resumes_in_torch(tmp_path, amsgrad):
+    """torch.optim.Adam.load_state_dict on our export + identical grads
+    steps identically to our torch_adam continuing the native state — the
+    reference could continue TRAINING from an exported checkpoint."""
+    dec, dopt = _trained_decoder("GRU", amsgrad=amsgrad, wd=1e-2)
+    path = _save_reference_checkpoint(tmp_path, dec, dopt)
+    ckpt = interop.load_reference_checkpoint(path)
+    state, dcfg, rcfg, tc = interop.train_state_from_reference(ckpt)
+    out = os.path.join(str(tmp_path), "exported.tar")
+    interop.export_reference_checkpoint(out, state, tc)
+
+    # fresh torch modules resumed from OUR export
+    back = interop.load_reference_checkpoint(out)
+    dec2 = RefDecoder("GRU")
+    dec2.load_state_dict(back["dec"])
+    opt2 = torch.optim.Adam(dec2.parameters(), lr=tc.decoder_learning_rate,
+                            weight_decay=tc.decoder_weight_decay,
+                            amsgrad=amsgrad)
+    opt2.load_state_dict(back["dec_opt"])
+
+    tx = optim_mod.torch_adam(tc.decoder_learning_rate,
+                              tc.decoder_weight_decay, amsgrad=amsgrad)
+    jparams = state.dec_params
+    jopt = state.dec_opt
+    import optax
+    for step in range(3):
+        for p in dec2.parameters():
+            p.grad = 0.1 * p.detach() + 0.01
+        opt2.step()
+        jgrads = jax.tree_util.tree_map(lambda p: 0.1 * p + 0.01, jparams)
+        updates, jopt = tx.update(jgrads, jopt, jparams)
+        jparams = optax.apply_updates(jparams, updates)
+        got, _ = interop.decoder_from_state_dict(dec2.state_dict())
+        for a, b in zip(jax.tree_util.tree_leaves(got),
+                        jax.tree_util.tree_leaves(jparams)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-6, atol=2e-7,
+                                       err_msg=f"step {step}")
+
+
+def test_export_cli_from_native_checkpoint(tmp_path):
+    """A natively initialized+saved checkpoint exports through the CLI into
+    a legacy-format torch file with the reference's exact key set."""
+    from recnet_tpu import checkpoint as ckpt_mod
+    from recnet_tpu.cli import export_torch as cli
+    from recnet_tpu.data.vocab import Vocab
+    from recnet_tpu.training.step import init_train_state
+    from tests.fixtures import tiny_train_config
+
+    tc = tiny_train_config(str(tmp_path), use_recon=True,
+                           reconstructor_type="global")
+    vocab = Vocab({"<PAD>": 0, "<SOS>": 1, "<EOS>": 2}, min_count=1)
+    vocab.build(["a b c d e"], lambda s: s.split())
+    state, dcfg, rcfg = init_train_state(jax.random.PRNGKey(0), tc,
+                                         vocab.n_vocabs)
+    state = state._replace(step=jnp.asarray(55, jnp.int32))
+    ckpt_dir = os.path.join(str(tmp_path), "native")
+    step_dir = ckpt_mod.save_checkpoint(ckpt_dir, 55, state, tc, vocab)
+
+    out = os.path.join(str(tmp_path), "55_checkpoint.tar")
+    cli.main(["--ckpt", step_dir, "--out", out])
+
+    # legacy (non-zipfile) serialization: readable by torch 1.0 / py2
+    with open(out, "rb") as f:
+        assert f.read(2) != b"PK"
+    back = interop.load_reference_checkpoint(out)
+    assert sorted(back) == ["config", "dec", "dec_opt", "iteration", "loss",
+                            "rec", "rec_opt"]
+    assert back["iteration"] == 55
+    assert isinstance(back["config"], type)
+    np.testing.assert_array_equal(back["dec"]["embedding.weight"].numpy(),
+                                  np.asarray(state.dec_params["embedding"]))
+    # reimport closes the loop
+    state2, dcfg2, rcfg2, _ = interop.train_state_from_reference(back)
+    assert rcfg2.kind == "global" and dcfg2.vocab_size == vocab.n_vocabs
+
+
 def test_vocab_mismatch_is_an_error(tmp_path, capsys):
     from recnet_tpu.cli import import_torch as cli
     from recnet_tpu.data.vocab import Vocab
