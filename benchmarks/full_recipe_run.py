@@ -1,0 +1,220 @@
+"""Run the FULL reference recipe end-to-end on the real TPU.
+
+The reference's acceptance check is its README table after `python
+train.py` with the default config: 100k iterations, batch 100, global
+reconstructor, uniform 28-frame sampling, InceptionV4 1536-d features
+(reference README.md:84-88, config.py:27-103).  Real MSVD features do not
+exist in this environment, so this script builds a *learnable* synthetic
+corpus at exact MSVD scale (1200/100/670 videos, ~40 captions each,
+28x1536 features that deterministically encode each video's latent
+sentence) and runs the unmodified training loop + eval on it.
+
+What this demonstrates (and records in benchmarks/full_recipe_results.json):
+  * the full-scale recipe trains NaN-free at wire speed on one chip
+    (device_feature_cache keeps the 206 MiB feature set resident in HBM —
+    without it the tunnel's host->device bandwidth dominates),
+  * the periodic val/test/score cadences, checkpointing and final
+    greedy+beam evaluation all run at reference scale,
+  * the model actually learns the feature->caption mapping (BLEU4 on the
+    670 held-out videos should approach 1.0·100 on this synthetic task —
+    a convergence check, not a claim about MSVD quality).
+
+Usage: python benchmarks/full_recipe_run.py [--iters 100000]
+       [--data_root /tmp/synth_msvd] [--regen] [--loss_only]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache"))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# Synthetic MSVD-scale corpus with a learnable feature->sentence mapping
+# ---------------------------------------------------------------------------
+
+_POOLS = {
+    "adj": ["small", "big", "young", "old", "white", "black", "fast",
+            "slow", "happy", "angry", "tiny", "huge", "red", "green",
+            "quiet", "loud", "wild", "tame", "clever", "lazy"],
+    "noun": ["man", "woman", "dog", "cat", "bird", "horse", "monkey",
+             "baby", "girl", "boy", "chef", "player", "dancer", "singer",
+             "rabbit", "elephant", "panda", "turtle", "lion", "tiger",
+             "guitar", "piano", "ball", "knife", "onion", "potato",
+             "bike", "car", "pool", "stage", "kitchen", "field", "road",
+             "tree", "river", "boat", "phone", "paper", "box", "rope"],
+    "verb": ["rides", "plays", "cuts", "slices", "throws", "kicks",
+             "climbs", "pets", "chases", "holds", "lifts", "pushes",
+             "pulls", "opens", "cleans", "cooks", "eats", "drinks",
+             "draws", "paints", "washes", "folds", "peels", "stirs",
+             "swims", "jumps", "runs", "walks", "dances", "sings"],
+    "prep": ["on", "in", "near", "behind", "beside", "under", "above",
+             "across"],
+    "adv": ["quickly", "slowly", "carefully", "loudly", "quietly",
+            "happily", "badly", "well", "gently", "wildly"],
+}
+
+
+def _latent_sentence(rng) -> list:
+    return ["the", rng.choice(_POOLS["adj"]), rng.choice(_POOLS["noun"]),
+            rng.choice(_POOLS["verb"]), rng.choice(_POOLS["prep"]),
+            "the", rng.choice(_POOLS["noun"]), rng.choice(_POOLS["adv"])]
+
+
+def _caption_variants(rng, latent, n):
+    """n captions of one video: the latent sentence with light, consistent
+    noise (drop adjective / adverb) — like paraphrased human captions."""
+    out = []
+    for _ in range(n):
+        words = list(latent)
+        r = rng.random()
+        if r < 0.2:
+            words.pop(1)            # drop the adjective
+        elif r < 0.4:
+            words.pop(-1)           # drop the adverb
+        out.append(" ".join(words))
+    return out
+
+
+def generate_corpus(root: str, n_frames: int = 40, feat_dim: int = 1536,
+                    caps_per_video: int = 40, seed: int = 0):
+    import h5py
+    import pandas as pd
+
+    rng = np.random.default_rng(seed)
+    words = sorted({w for pool in _POOLS.values() for w in pool} | {"the"})
+    word_to_i = {w: i for i, w in enumerate(words)}
+    # fixed random projection: bag-of-words -> feature space
+    W = rng.standard_normal((len(words), feat_dim)).astype(np.float32)
+    W /= np.sqrt(3.0)  # ~3 content words/frame keeps features ~N(0,1)
+
+    feat_dir = os.path.join(root, "MSVD", "features")
+    meta_dir = os.path.join(root, "MSVD", "metadata")
+    os.makedirs(feat_dir, exist_ok=True)
+    os.makedirs(meta_dir, exist_ok=True)
+
+    splits = {"train": 1200, "val": 100, "test": 670}
+    all_rows = []
+    t0 = time.time()
+    vid_no = 0
+    for split, n_videos in splits.items():
+        with h5py.File(os.path.join(feat_dir,
+                                    f"InceptionV4_{split}.hdf5"), "w") as f:
+            split_rows = []
+            for _ in range(n_videos):
+                vid = f"vid{vid_no:05d}_0_{10 + vid_no % 50}"
+                vid_no += 1
+                latent = _latent_sentence(rng)
+                bow = np.zeros((len(words),), np.float32)
+                for w in latent:
+                    bow[word_to_i[w]] += 1.0
+                base = bow @ W                      # (feat_dim,)
+                noise = 0.3 * rng.standard_normal(
+                    (n_frames, feat_dim)).astype(np.float32)
+                f[vid] = base[None, :] + noise
+                vid_id, start, end = vid.rsplit("_", 2)
+                for cap in _caption_variants(rng, latent, caps_per_video):
+                    split_rows.append({
+                        "VideoID": vid_id, "Start": start, "End": end,
+                        "Language": "English", "Description": cap})
+            pd.DataFrame(split_rows).to_csv(
+                os.path.join(meta_dir, f"{split}.csv"), index=False)
+            all_rows += split_rows
+    pd.DataFrame(all_rows).to_csv(
+        os.path.join(meta_dir, "MSR Video Description Corpus.csv"),
+        index=False)
+    print(f"[gen] corpus written to {root} in {time.time() - t0:.0f}s "
+          f"({vid_no} videos, {len(all_rows)} captions)", file=sys.stderr)
+
+
+# ---------------------------------------------------------------------------
+# The run
+# ---------------------------------------------------------------------------
+
+def main(argv=None):
+    a = argparse.ArgumentParser()
+    a.add_argument("--iters", type=int, default=100000)
+    a.add_argument("--data_root", type=str, default="/tmp/synth_msvd")
+    a.add_argument("--regen", action="store_true")
+    a.add_argument("--loss_only", action="store_true",
+                   help="skip the periodic decode+score blocks "
+                        "(reference --loss_only)")
+    a.add_argument("--no_cache", action="store_true",
+                   help="disable device_feature_cache (measures the "
+                        "host-upload-bound baseline)")
+    a.add_argument("--validate_every", type=int, default=5000)
+    a.add_argument("--test_every", type=int, default=10000)
+    a.add_argument("--out", type=str,
+                   default=os.path.join(os.path.dirname(
+                       os.path.abspath(__file__)),
+                       "full_recipe_results.json"))
+    args = a.parse_args(argv)
+
+    marker = os.path.join(args.data_root, "MSVD", "metadata", "test.csv")
+    if args.regen or not os.path.exists(marker):
+        generate_corpus(args.data_root)
+
+    from recnet_tpu.config import TrainConfig
+    from recnet_tpu.training.loop import train
+
+    # the reference recipe (README.md:84-88): every knob at its default —
+    # batch 100, lr 1e-5/1e-6, wd 1e-5, clip 50, uniform sampling, global
+    # reconstructor; only the data root and cadence overrides differ
+    tc = TrainConfig(
+        data_root=args.data_root,
+        use_recon=True, reconstructor_type="global",
+        n_iterations=args.iters,
+        validate_every=args.validate_every,
+        test_every=args.test_every,
+        save_every=args.iters,
+        device_feature_cache=not args.no_cache,
+    )
+    run_dir = os.path.join(args.data_root, "run")
+    t0 = time.time()
+    state = train(tc, loss_only=args.loss_only,
+                  log_dir=os.path.join(run_dir, "logs"),
+                  save_dir=os.path.join(run_dir, "ckpt"))
+    wall = time.time() - t0
+
+    # final held-out evaluation, greedy + beam-5 (reference eval.py route)
+    from recnet_tpu.data import Corpus
+    from recnet_tpu.evaluation import evaluate
+    from recnet_tpu.models.decoder import config_from_train
+
+    eval_tc = tc.replace(build_train_data_loader=False,
+                         build_val_data_loader=False,
+                         build_test_data_loader=True,
+                         build_score_data_loader=True)
+    corpus = Corpus(eval_tc)
+    dcfg = config_from_train(tc, corpus.vocab.n_vocabs)
+    scores = {}
+    for method in ("greedy", ("beam", 5)):
+        name = method if isinstance(method, str) else f"beam{method[1]}"
+        scores[name] = evaluate(eval_tc, corpus, state.dec_params, dcfg,
+                                method)
+    summary = {
+        "recipe": "global-recon, batch 100 (reference README.md:84-88)",
+        "iterations": args.iters,
+        "wall_seconds": round(wall, 1),
+        "steps_per_sec": round(args.iters / wall, 1),
+        "device_feature_cache": not args.no_cache,
+        "final_scores": scores,
+        "corpus": "synthetic MSVD-scale (learnable; see module docstring)",
+    }
+    with open(args.out, "w") as f:
+        json.dump(summary, f, indent=2)
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()

@@ -45,6 +45,10 @@ def main(argv=None):
     a.add_argument("--steps_per_dispatch", type=int, default=None,
                    help="train steps per device dispatch (lax.scan over k "
                         "batches; cadences must divide by k)")
+    a.add_argument("--device_feature_cache", action="store_true",
+                   help="keep all train video features resident in HBM and "
+                        "send only row indices per step (bit-identical; "
+                        "requires uniform frame sampling)")
     args = a.parse_args(argv)
     if args.async_ckpt and args.ckpt_backend != "orbax":
         a.error("--async_ckpt requires --ckpt_backend orbax "
@@ -73,6 +77,8 @@ def main(argv=None):
         use_mesh = True
     if args.steps_per_dispatch is not None:
         tc = tc.replace(steps_per_dispatch=args.steps_per_dispatch)
+    if args.device_feature_cache:
+        tc = tc.replace(device_feature_cache=True)
 
     train(tc, debug=args.debug, loss_only=args.loss_only,
           resume_from=args.resume, use_mesh=use_mesh,

@@ -158,6 +158,15 @@ class TrainConfig:
     # log/validate/test/save cadence must be a multiple of k.
     steps_per_dispatch: int = 1
     use_pallas: bool = False          # fused Pallas decoder step (falls back to XLA)
+    # Keep all (deterministically sampled) train video features resident in
+    # HBM and send only (B,) row indices per step; the jitted step gathers
+    # features on device (training/step.py build_train_step_cached).
+    # Removes the per-step host->device feature upload — the training-loop
+    # bandwidth bottleneck on remote/tunneled links (MSVD-scale cache is
+    # ~206 MB). Requires frame_sampling_method="uniform" (bit-identical to
+    # the uncached path then; stochastic sampling would be frozen by a
+    # cache, so it is rejected).
+    device_feature_cache: bool = False
 
     # ---- derived (reference: config.py:105-134) ----
 

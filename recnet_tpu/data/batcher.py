@@ -25,11 +25,17 @@ class Batcher:
     """Iterates a CaptionDataset/ScoreDataset in fixed-size batches."""
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
-                 seed: int = 0, has_captions: bool = True):
+                 seed: int = 0, has_captions: bool = True,
+                 index_mode: bool = False):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.has_captions = has_captions
+        # index_mode: yield (vids, video_row_idx (B,) int32, captions)
+        # instead of materialized feature arrays — for the device feature
+        # cache (config.device_feature_cache). Same shuffle stream as the
+        # materializing mode, so the two are batch-for-batch identical.
+        self.index_mode = index_mode
         self._rng = np.random.default_rng(seed)
         self._epoch = 0
 
@@ -47,6 +53,16 @@ class Batcher:
             yield self._collate(idxs)
 
     def _collate(self, idxs: Sequence[int]):
+        if self.index_mode:
+            items = [self.dataset.get_indexed(int(i)) for i in idxs]
+            pad_len = self.batch_size - len(items)
+            vids = [it[0] for it in items] + ["PAD"] * pad_len
+            if pad_len:
+                items = items + [items[-1]] * pad_len
+            rows = np.asarray([it[1] for it in items], np.int32)
+            captions = np.stack([np.asarray(it[2], np.int32)
+                                 for it in items])
+            return vids, rows, captions.T
         items = [self.dataset.get(int(i)) for i in idxs]
         pad_len = self.batch_size - len(items)
         vids = [it[0] for it in items] + ["PAD"] * pad_len

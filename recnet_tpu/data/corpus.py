@@ -44,7 +44,12 @@ class Corpus:
 
         if config.build_train_data_loader:
             self.train_dataset = self._dataset("train")
-            self.train_batcher = self._batcher(self.train_dataset)
+            # index_mode keeps the same shuffle stream, so cached and
+            # uncached runs see identical batches (bit-identical training)
+            self.train_batcher = self._batcher(
+                self.train_dataset,
+                index_mode=bool(getattr(config, "device_feature_cache",
+                                        False)))
         if config.build_val_data_loader:
             self.val_dataset = self._dataset("val")
             self.val_batcher = self._batcher(self.val_dataset)
@@ -89,6 +94,7 @@ class Corpus:
                                 transform_frame=self.transform_frame,
                                 transform_caption=self.transform_caption)
 
-    def _batcher(self, dataset) -> Batcher:
+    def _batcher(self, dataset, index_mode: bool = False) -> Batcher:
         return Batcher(dataset, self.C.batch_size, shuffle=self.C.shuffle,
-                       seed=self.C.seed, has_captions=True)
+                       seed=self.C.seed, has_captions=True,
+                       index_mode=index_mode)

@@ -107,6 +107,34 @@ class CaptionDataset:
     def vid_caption_pairs(self) -> List[Tuple[str, str]]:
         return list(self.video_caption_pairs)
 
+    # ---- device-feature-cache support (config.device_feature_cache) ----
+
+    def feature_cache(self) -> np.ndarray:
+        """All unique videos transformed once, stacked to (V, frames, feat).
+
+        Row order is HDF5 key order (= ``self.videos`` insertion order),
+        the same order :meth:`get_indexed` indexes into.  Only valid when
+        ``transform_frame`` is deterministic (uniform sampling): a cache
+        would otherwise freeze one random frame draw for the whole run.
+        """
+        feats = []
+        for vid in self.videos:
+            x = self.videos[vid]
+            if self.transform_frame is not None:
+                x = self.transform_frame(x)
+            feats.append(np.asarray(x, np.float32))
+        return np.stack(feats)
+
+    def get_indexed(self, idx: int):
+        """(vid, video row index into :meth:`feature_cache`, caption) —
+        the caption transform runs, the video is NOT materialized."""
+        if not hasattr(self, "_vid_to_row"):
+            self._vid_to_row = {v: i for i, v in enumerate(self.videos)}
+        vid, caption = self.video_caption_pairs[idx]
+        if self.transform_caption is not None:
+            caption = self.transform_caption(caption)
+        return vid, self._vid_to_row[vid], caption
+
 
 class ScoreDataset:
     """Caption-less (vid, video) dataset for decoding

@@ -24,7 +24,7 @@ from recnet_tpu.decoding import tokens_to_sentences
 from recnet_tpu.evaluation import evaluate
 from recnet_tpu.training.step import (
     init_train_state, build_train_step, build_train_multi_step,
-    build_val_step)
+    build_train_step_cached, build_train_multi_step_cached, build_val_step)
 from recnet_tpu.utils.logging import MetricWriter
 from recnet_tpu import checkpoint as ckpt
 from recnet_tpu.parallel import mesh as mesh_lib
@@ -101,8 +101,32 @@ def train(tc: TrainConfig, debug: bool = False, loss_only: bool = False,
         mesh = mesh_lib.make_mesh(tc.mesh_shape)
         state = mesh_lib.shard_state(state, mesh)
 
-    train_step = (build_train_step(tc, dcfg, rcfg) if k == 1
-                  else build_train_multi_step(tc, dcfg, rcfg, k))
+    use_cache = bool(getattr(tc, "device_feature_cache", False))
+    if use_cache:
+        if tc.frame_sampling_method != "uniform":
+            raise ValueError(
+                "device_feature_cache requires frame_sampling_method="
+                "'uniform' (stochastic sampling would be frozen by the "
+                f"cache); got {tc.frame_sampling_method!r}")
+        cache_np = corpus.train_dataset.feature_cache()
+        say(f"device feature cache: {cache_np.shape} "
+            f"({cache_np.nbytes / 2**20:.0f} MiB resident in HBM)")
+        if multihost:
+            cache_dev = dist.put_global(cache_np, mesh_lib.replicated(mesh))
+        elif mesh is not None:
+            cache_dev = jax.device_put(cache_np, mesh_lib.replicated(mesh))
+        else:
+            cache_dev = jax.device_put(cache_np)
+        del cache_np
+        _cached = (build_train_step_cached(tc, dcfg, rcfg) if k == 1
+                   else build_train_multi_step_cached(tc, dcfg, rcfg, k))
+        # same call shape as the uncached step: "videos" is the (B,) or
+        # (k,B) row-index array; the cache never leaves the device
+        train_step = lambda s, rows, caps, r: _cached(s, cache_dev, rows,
+                                                      caps, r)
+    else:
+        train_step = (build_train_step(tc, dcfg, rcfg) if k == 1
+                      else build_train_multi_step(tc, dcfg, rcfg, k))
     val_step = build_val_step(tc, dcfg, rcfg)
     rng = jax.random.PRNGKey(tc.seed + 1)
     if multihost:
@@ -122,7 +146,9 @@ def train(tc: TrainConfig, debug: bool = False, loss_only: bool = False,
             stripped = chunked(stripped)
         sharding = None
         if use_mesh:
-            # the stacked leading (k,) axis shifts the batch dim right by 1
+            # the stacked leading (k,) axis shifts the batch dim right by 1;
+            # in cache mode the first leaf is the (B,) row-index vector
+            # (batch dim 0) instead of (B,F,E) videos (also batch dim 0)
             sharding = (mesh_lib.batch_sharding(mesh, 0 + (k > 1)),
                         mesh_lib.batch_sharding(mesh, 1 + (k > 1)))
         yield from prefetch_to_device(stripped, tc.prefetch_depth,

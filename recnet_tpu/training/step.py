@@ -152,6 +152,49 @@ def build_train_multi_step(tc: TrainConfig, dcfg: dec_mod.DecoderConfig,
     return jax.jit(multi_fn, donate_argnums=(0,))
 
 
+def build_train_step_cached(tc: TrainConfig, dcfg: dec_mod.DecoderConfig,
+                            rcfg: Optional[rec_mod.ReconstructorConfig]):
+    """Device-feature-cache variant (config.device_feature_cache).
+
+    fn(state, cache (V,F,E), vid_rows (B,) int32, captions, rng)
+      -> (state, metrics)
+
+    The whole train feature set stays resident in HBM and each step gathers
+    its batch with one on-device ``jnp.take`` — the host sends only row
+    indices + caption tokens (~12 KB vs ~17 MB at the reference recipe), so
+    training is never host->device bandwidth bound.  Bit-identical to
+    :func:`build_train_step` on the same batches (the gather reproduces the
+    exact f32 rows; tests/test_train_step.py pins it).  The cache is an
+    ARGUMENT, not a closure: jit-closing over a 200 MB array would ship it
+    with the compile request (NOTES.md environment lessons).
+    """
+    step_fn = _make_step_fn(tc, dcfg, rcfg)
+
+    def fn(state: TrainState, cache, vid_rows, captions, rng):
+        videos = jnp.take(cache, vid_rows, axis=0)
+        return step_fn(state, videos, captions, rng)
+
+    return jax.jit(fn, donate_argnums=(0,))
+
+
+def build_train_multi_step_cached(tc: TrainConfig,
+                                  dcfg: dec_mod.DecoderConfig,
+                                  rcfg: Optional[rec_mod.ReconstructorConfig],
+                                  k: int):
+    """k cached steps per dispatch: fn(state, cache, vid_rows (k,B),
+    captions (k,T,B), rng); the cache rides outside the scan carry."""
+    step_fn = _make_step_fn(tc, dcfg, rcfg)
+
+    def multi_fn(state: TrainState, cache, vid_rows, captions, rng):
+        def body(s, xs):
+            rows, c = xs
+            return step_fn(s, jnp.take(cache, rows, axis=0), c, rng)
+
+        return jax.lax.scan(body, state, (vid_rows, captions), length=k)
+
+    return jax.jit(multi_fn, donate_argnums=(0,))
+
+
 def _make_step_fn(tc: TrainConfig, dcfg: dec_mod.DecoderConfig,
                   rcfg: Optional[rec_mod.ReconstructorConfig]):
     dec_tx = torch_adam(tc.decoder_learning_rate, tc.decoder_weight_decay,

@@ -107,3 +107,32 @@ def test_dp_batch_actually_distributed(rng):
     assert len(vs.sharding.device_set) == 8
     shard_shapes = {s.data.shape for s in vs.addressable_shards}
     assert shard_shapes == {(1, tc.encoder_output_len, tc.encoder_output_size)}
+
+
+def test_cached_loop_on_mesh_matches_single_device(tmp_path):
+    """The device-feature-cache training path (replicated cache + batch-
+    sharded row indices) over a dp x tp mesh equals the unsharded cached
+    run bit-for-bit."""
+    import sys
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+    from fixtures import make_msvd_fixture, tiny_train_config
+    from recnet_tpu.training.loop import train
+
+    make_msvd_fixture(str(tmp_path), feat_dim=32)
+    base = dict(use_recon=True, reconstructor_type="global",
+                device_feature_cache=True, n_iterations=4, log_every=2,
+                validate_every=100, test_every=100, save_every=100,
+                mesh_shape=(("data", 4), ("model", 2)))
+    tc = tiny_train_config(str(tmp_path), **base)
+    state_single = train(tc, loss_only=True,
+                         log_dir=str(tmp_path / "log_s"),
+                         save_dir=str(tmp_path / "ck_s"))
+    state_mesh = train(tc, loss_only=True, use_mesh=True,
+                       log_dir=str(tmp_path / "log_m"),
+                       save_dir=str(tmp_path / "ck_m"))
+    # sharded reductions reorder float sums — rounding-level tolerance,
+    # same contract as test_sharded_step_matches_single_device
+    for a, b in zip(jax.tree_util.tree_leaves(state_single.dec_params),
+                    jax.tree_util.tree_leaves(state_mesh.dec_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)

@@ -195,3 +195,98 @@ def test_multi_step_loop_cadence_validation(tmp_path):
     tc = _tiny_tc(steps_per_dispatch=3, log_every=500)  # 500 % 3 != 0
     with pytest.raises(ValueError, match="log_every"):
         train(tc)
+
+
+@pytest.mark.parametrize("k", [1, 3])
+def test_cached_step_matches_uncached(k, rng=None):
+    """build_train_step_cached (device feature cache) is bit-identical to
+    the uncached step when the gathered rows equal the uploaded batch."""
+    from recnet_tpu.training.step import (
+        build_train_step_cached, build_train_multi_step,
+        build_train_multi_step_cached)
+
+    rng = np.random.default_rng(7)
+    tc = _tiny_tc(use_recon=True, reconstructor_type="global")
+    vocab_size = 30
+    state_a, dcfg, rcfg = init_train_state(jax.random.PRNGKey(0), tc,
+                                           vocab_size)
+    state_b, _, _ = init_train_state(jax.random.PRNGKey(0), tc, vocab_size)
+    key = jax.random.PRNGKey(3)
+
+    # a cache of 10 videos; batches address rows (with repeats, like
+    # multiple captions of one video landing in a batch)
+    cache = jnp.asarray(rng.standard_normal(
+        (10, tc.encoder_output_len, tc.encoder_output_size)
+    ).astype(np.float32))
+    steps = 4
+    all_rows = rng.integers(0, 10, (steps, tc.batch_size)).astype(np.int32)
+    caps = []
+    for _ in range(steps):
+        _, c = _batch(rng, tc, vocab_size)
+        caps.append(c)
+
+    if k == 1:
+        plain = build_train_step(tc, dcfg, rcfg)
+        cached = build_train_step_cached(tc, dcfg, rcfg)
+        for s in range(steps):
+            videos = jnp.take(cache, jnp.asarray(all_rows[s]), axis=0)
+            state_a, ma = plain(state_a, videos, caps[s], key)
+            state_b, mb = cached(state_b, cache, jnp.asarray(all_rows[s]),
+                                 caps[s], key)
+            assert float(ma["loss"]) == float(mb["loss"]), f"step {s}"
+    else:
+        assert steps % k == 0 or True
+        plain = build_train_multi_step(tc, dcfg, rcfg, k)
+        cached = build_train_multi_step_cached(tc, dcfg, rcfg, k)
+        rows_k = jnp.asarray(all_rows[:k])
+        caps_k = jnp.stack(caps[:k])
+        videos_k = jnp.take(cache, rows_k.reshape(-1), axis=0).reshape(
+            k, tc.batch_size, tc.encoder_output_len, tc.encoder_output_size)
+        state_a, ma = plain(state_a, videos_k, caps_k, key)
+        state_b, mb = cached(state_b, cache, rows_k, caps_k, key)
+        np.testing.assert_array_equal(np.asarray(ma["loss"]),
+                                      np.asarray(mb["loss"]))
+
+    for a, b in zip(jax.tree_util.tree_leaves(state_a.dec_params),
+                    jax.tree_util.tree_leaves(state_b.dec_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_cached_loop_matches_uncached_loop(tmp_path):
+    """The full training loop with device_feature_cache=True reproduces the
+    uncached loop bit-for-bit (same fixture, same seeds)."""
+    import sys
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+    from fixtures import make_msvd_fixture, tiny_train_config
+    from recnet_tpu.training.loop import train
+
+    make_msvd_fixture(str(tmp_path), feat_dim=32)
+    base = dict(use_recon=True, reconstructor_type="global",
+                n_iterations=4, log_every=2, validate_every=100,
+                test_every=100, save_every=100)
+    tc_a = tiny_train_config(str(tmp_path), **base)
+    tc_b = tiny_train_config(str(tmp_path), device_feature_cache=True,
+                             **base)
+    state_a = train(tc_a, loss_only=True,
+                    log_dir=str(tmp_path / "log_a"),
+                    save_dir=str(tmp_path / "ck_a"))
+    state_b = train(tc_b, loss_only=True,
+                    log_dir=str(tmp_path / "log_b"),
+                    save_dir=str(tmp_path / "ck_b"))
+    for a, b in zip(jax.tree_util.tree_leaves(state_a.dec_params),
+                    jax.tree_util.tree_leaves(state_b.dec_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_cache_rejects_stochastic_sampling(tmp_path):
+    import sys
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+    from fixtures import make_msvd_fixture, tiny_train_config
+    from recnet_tpu.training.loop import train
+
+    make_msvd_fixture(str(tmp_path), feat_dim=32)
+    tc = tiny_train_config(str(tmp_path), device_feature_cache=True,
+                           frame_sampling_method="random", n_iterations=2)
+    with pytest.raises(ValueError, match="uniform"):
+        train(tc, loss_only=True, log_dir=str(tmp_path / "l"),
+              save_dir=str(tmp_path / "c"))
