@@ -52,7 +52,10 @@ class Corpus:
                                         False)))
         if config.build_val_data_loader:
             self.val_dataset = self._dataset("val")
-            self.val_batcher = self._batcher(self.val_dataset)
+            self.val_batcher = self._batcher(
+                self.val_dataset,
+                index_mode=bool(getattr(config, "device_feature_cache",
+                                        False)))
         if config.build_test_data_loader:
             self.test_dataset = self._dataset("test")
             self.test_batcher = self._batcher(self.test_dataset)
@@ -65,6 +68,20 @@ class Corpus:
             self.score_batcher = Batcher(
                 self.score_dataset, self.C.batch_size, shuffle=False,
                 has_captions=False)
+        self._score_batches_dev = None
+
+    def score_batches_device(self):
+        """Score batches with videos already resident on device, built once
+        and reused across the periodic test evals (the decode-path side of
+        config.device_feature_cache; ~115 MB at MSVD scale). Valid because
+        the score batcher is unshuffled and uniform sampling is
+        deterministic — callers gate on frame_sampling_method."""
+        if self._score_batches_dev is None:
+            import jax.numpy as jnp
+            self._score_batches_dev = [
+                (vids, jnp.asarray(videos))
+                for vids, videos in self.score_batcher]
+        return self._score_batches_dev
 
     # ---- corpus-format dispatch ----
 

@@ -70,9 +70,18 @@ def evaluate(tc, corpus, decoder_params, dcfg, search_method,
     n_test = n_test if n_test is not None else tc.n_test
     eos = corpus.vocab.word2idx["<EOS>"]
 
+    # device-resident score features: reuse one upload across the periodic
+    # test evals (config.device_feature_cache; single-host + deterministic
+    # sampling only — the mesh path replicates per call via put_global)
+    batches = corpus.score_batcher
+    if (getattr(tc, "device_feature_cache", False) and mesh is None
+            and tc.frame_sampling_method == "uniform"
+            and hasattr(corpus, "score_batches_device")):
+        batches = corpus.score_batches_device()
+
     total_vids = []
     total_pd = []
-    for vids, videos in corpus.score_batcher:
+    for vids, videos in batches:
         tokens = decode_batch(decoder_params, dcfg, videos, search_method,
                               tc.caption_max_len,
                               use_pallas=getattr(tc, "use_pallas", False),

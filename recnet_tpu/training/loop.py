@@ -24,7 +24,8 @@ from recnet_tpu.decoding import tokens_to_sentences
 from recnet_tpu.evaluation import evaluate
 from recnet_tpu.training.step import (
     init_train_state, build_train_step, build_train_multi_step,
-    build_train_step_cached, build_train_multi_step_cached, build_val_step)
+    build_train_step_cached, build_train_multi_step_cached, build_val_step,
+    build_val_step_cached)
 from recnet_tpu.utils.logging import MetricWriter
 from recnet_tpu import checkpoint as ckpt
 from recnet_tpu.parallel import mesh as mesh_lib
@@ -127,7 +128,24 @@ def train(tc: TrainConfig, debug: bool = False, loss_only: bool = False,
     else:
         train_step = (build_train_step(tc, dcfg, rcfg) if k == 1
                       else build_train_multi_step(tc, dcfg, rcfg, k))
-    val_step = build_val_step(tc, dcfg, rcfg)
+    if use_cache and corpus.val_batcher is not None:
+        # the val pass revisits every (video, caption) pair — its own
+        # (tiny) cache saves ~0.7 GB of upload per validation at MSVD scale
+        val_cache_np = corpus.val_dataset.feature_cache()
+        if multihost:
+            val_cache_dev = dist.put_global(val_cache_np,
+                                            mesh_lib.replicated(mesh))
+        elif mesh is not None:
+            val_cache_dev = jax.device_put(val_cache_np,
+                                           mesh_lib.replicated(mesh))
+        else:
+            val_cache_dev = jax.device_put(val_cache_np)
+        del val_cache_np
+        _val_cached = build_val_step_cached(tc, dcfg, rcfg)
+        val_step = lambda dp, rp, rows, caps: _val_cached(
+            dp, rp, val_cache_dev, rows, caps)
+    else:
+        val_step = build_val_step(tc, dcfg, rcfg)
     rng = jax.random.PRNGKey(tc.seed + 1)
     if multihost:
         # every jit input must be a global array when the mesh spans

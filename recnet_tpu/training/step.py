@@ -288,3 +288,28 @@ def build_val_step(tc: TrainConfig, dcfg: dec_mod.DecoderConfig,
         }
 
     return jax.jit(val_fn)
+
+
+def build_val_step_cached(tc: TrainConfig, dcfg: dec_mod.DecoderConfig,
+                          rcfg: Optional[rec_mod.ReconstructorConfig]):
+    """Device-feature-cache variant of :func:`build_val_step`:
+    fn(dec_params, rec_params, cache (V,F,E), vid_rows (B,), captions).
+    The val pass re-visits every (video, caption) pair — ~40 pairs per
+    video at MSVD scale — so the cached gather saves a ~0.7 GB host
+    upload per validation at the reference recipe."""
+    pad = tc.init_word2idx_dict["<PAD>"]
+
+    def val_fn(dec_params, rec_params, cache, vid_rows, captions):
+        videos = jnp.take(cache, vid_rows, axis=0)
+        total, aux = _forward(
+            dec_params, rec_params, dcfg, rcfg, pad, tc.lambda_recon,
+            tc.decoder_lambda_reg, tc.reconstructor_lambda_reg,
+            videos, captions, use_tf=jnp.asarray(False), rng=None, train=False)
+        return {
+            "loss": total,
+            "dec_loss": aux["dec_loss"],
+            "rec_loss": aux["rec_loss"],
+            "greedy_tokens": aux["greedy_tokens"],
+        }
+
+    return jax.jit(val_fn)

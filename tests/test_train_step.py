@@ -261,16 +261,18 @@ def test_cached_loop_matches_uncached_loop(tmp_path):
     from recnet_tpu.training.loop import train
 
     make_msvd_fixture(str(tmp_path), feat_dim=32)
+    # validate/test cadences inside the run so the cached val step and the
+    # device-resident score batches (evaluation.py) are exercised too
     base = dict(use_recon=True, reconstructor_type="global",
-                n_iterations=4, log_every=2, validate_every=100,
-                test_every=100, save_every=100)
+                n_iterations=4, log_every=2, validate_every=2,
+                test_every=4, save_every=100)
     tc_a = tiny_train_config(str(tmp_path), **base)
     tc_b = tiny_train_config(str(tmp_path), device_feature_cache=True,
                              **base)
-    state_a = train(tc_a, loss_only=True,
+    state_a = train(tc_a, loss_only=False,
                     log_dir=str(tmp_path / "log_a"),
                     save_dir=str(tmp_path / "ck_a"))
-    state_b = train(tc_b, loss_only=True,
+    state_b = train(tc_b, loss_only=False,
                     log_dir=str(tmp_path / "log_b"),
                     save_dir=str(tmp_path / "ck_b"))
     for a, b in zip(jax.tree_util.tree_leaves(state_a.dec_params),
