@@ -154,6 +154,10 @@ def main(argv=None):
                         "host-upload-bound baseline)")
     a.add_argument("--validate_every", type=int, default=5000)
     a.add_argument("--test_every", type=int, default=10000)
+    a.add_argument("--steps_per_dispatch", type=int, default=1,
+                   help="k train steps per device dispatch (bit-identical "
+                        "lax.scan; amortizes per-iteration link round-trips "
+                        "on remote-attached chips)")
     a.add_argument("--out", type=str,
                    default=os.path.join(os.path.dirname(
                        os.path.abspath(__file__)),
@@ -178,6 +182,7 @@ def main(argv=None):
         test_every=args.test_every,
         save_every=args.iters,
         device_feature_cache=not args.no_cache,
+        steps_per_dispatch=args.steps_per_dispatch,
     )
     run_dir = os.path.join(args.data_root, "run")
     t0 = time.time()
@@ -208,6 +213,7 @@ def main(argv=None):
         "wall_seconds": round(wall, 1),
         "steps_per_sec": round(args.iters / wall, 1),
         "device_feature_cache": not args.no_cache,
+        "steps_per_dispatch": args.steps_per_dispatch,
         "final_scores": scores,
         "corpus": "synthetic MSVD-scale (learnable; see module docstring)",
     }

@@ -46,6 +46,13 @@ def main(argv=None):
     a.add_argument("--min_count", type=int, default=None,
                    help="vocab min word count of the ORIGINAL training run "
                         "(only used with --caption_fpath; ref default 5)")
+    a.add_argument("--corpus", default=None, choices=["MSVD", "MSR-VTT"],
+                   help="corpus the checkpoint was trained on (selects the "
+                        "--caption_fpath parser: MSVD CSV vs MSR-VTT "
+                        "videodatainfo JSON; default MSVD)")
+    a.add_argument("--encoder_output_len", type=int, default=None,
+                   help="frame count of the original run (not recoverable "
+                        "from weights; ref default 28)")
     args = a.parse_args(argv)
 
     base = TrainConfig()
@@ -58,6 +65,10 @@ def main(argv=None):
         overrides["caption_max_len"] = args.caption_max_len
     if args.min_count is not None:
         overrides["min_count"] = args.min_count
+    if args.corpus is not None:
+        overrides["corpus"] = args.corpus
+    if args.encoder_output_len is not None:
+        overrides["encoder_output_len"] = args.encoder_output_len
     if overrides:
         base = base.replace(**overrides)
 
@@ -69,15 +80,9 @@ def main(argv=None):
             vocab = Vocab.from_json(f.read())
     elif args.caption_fpath:
         # the reference eval.py:185 route: rebuild deterministically from
-        # the full caption CSV with the run's min_count/pipeline
-        from recnet_tpu.data import datasets as D
-        from recnet_tpu.data import transforms as T
-        if tc.corpus == "MSVD":
-            values = D.load_msvd_caption_values(args.caption_fpath)
-        else:
-            values = D.load_msrvtt_caption_values(args.caption_fpath)
-        vocab = Vocab(tc.init_word2idx_dict, tc.min_count)
-        vocab.build(values, T.sentence_pipeline(tc.caption_max_len))
+        # the full caption file with the run's corpus/min_count/pipeline
+        from recnet_tpu.data.corpus import build_vocab_from_captions
+        vocab = build_vocab_from_captions(tc, args.caption_fpath)
     else:
         a.error("one of --vocab / --caption_fpath is required "
                 "(the reference checkpoint stores no vocab)")

@@ -20,6 +20,27 @@ from recnet_tpu.data.batcher import Batcher
 from recnet_tpu.data.vocab import Vocab
 
 
+def load_caption_values(corpus: str, fpath: str) -> List[str]:
+    """Corpus-format dispatch for raw caption text (one place for every
+    consumer: Corpus.build_vocab and the checkpoint importer's
+    vocab-rebuild route)."""
+    if corpus == "MSVD":
+        return D.load_msvd_caption_values(fpath)
+    elif corpus == "MSR-VTT":
+        return D.load_msrvtt_caption_values(fpath)
+    raise NotImplementedError(f"Unknown corpus: {corpus}")
+
+
+def build_vocab_from_captions(tc: TrainConfig, caption_fpath: str) -> Vocab:
+    """Rebuild the vocab deterministically from a full caption file with
+    the run's min_count/pipeline — the reference's own eval route
+    (reference eval.py:185)."""
+    vocab = Vocab(tc.init_word2idx_dict, tc.min_count)
+    vocab.build(load_caption_values(tc.corpus, caption_fpath),
+                T.sentence_pipeline(tc.caption_max_len))
+    return vocab
+
+
 class Corpus:
     """Builds vocab, transforms, datasets and batchers from a TrainConfig."""
 
@@ -86,11 +107,7 @@ class Corpus:
     # ---- corpus-format dispatch ----
 
     def _load_caption_values(self) -> List[str]:
-        if self.C.corpus == "MSVD":
-            return D.load_msvd_caption_values(self.C.total_caption_fpath)
-        elif self.C.corpus == "MSR-VTT":
-            return D.load_msrvtt_caption_values(self.C.total_caption_fpath)
-        raise NotImplementedError(f"Unknown corpus: {self.C.corpus}")
+        return load_caption_values(self.C.corpus, self.C.total_caption_fpath)
 
     def _load_captions(self, fpath: str) -> Dict[str, List[str]]:
         if self.C.corpus == "MSVD":

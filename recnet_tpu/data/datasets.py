@@ -113,9 +113,12 @@ class CaptionDataset:
         """All unique videos transformed once, stacked to (V, frames, feat).
 
         Row order is HDF5 key order (= ``self.videos`` insertion order),
-        the same order :meth:`get_indexed` indexes into.  Only valid when
-        ``transform_frame`` is deterministic (uniform sampling): a cache
-        would otherwise freeze one random frame draw for the whole run.
+        the same order :meth:`get_indexed` indexes into.  Videos without
+        captions are cached too (unreachable rows; harmless — the frame
+        pipeline's ZeroPadIfLessThan guarantees every row has the same
+        (n_frames, feat) shape).  Only valid when ``transform_frame`` is
+        deterministic (uniform sampling): a cache would otherwise freeze
+        one random frame draw for the whole run.
         """
         feats = []
         for vid in self.videos:

@@ -102,6 +102,16 @@ def train(tc: TrainConfig, debug: bool = False, loss_only: bool = False,
         mesh = mesh_lib.make_mesh(tc.mesh_shape)
         state = mesh_lib.shard_state(state, mesh)
 
+    def put_replicated(x):
+        """One cache-placement rule for train AND val caches: replicated
+        over the mesh (global array on multi-host), plain device_put
+        single-device."""
+        if multihost:
+            return dist.put_global(x, mesh_lib.replicated(mesh))
+        if mesh is not None:
+            return jax.device_put(x, mesh_lib.replicated(mesh))
+        return jax.device_put(x)
+
     use_cache = bool(getattr(tc, "device_feature_cache", False))
     if use_cache:
         if tc.frame_sampling_method != "uniform":
@@ -112,12 +122,7 @@ def train(tc: TrainConfig, debug: bool = False, loss_only: bool = False,
         cache_np = corpus.train_dataset.feature_cache()
         say(f"device feature cache: {cache_np.shape} "
             f"({cache_np.nbytes / 2**20:.0f} MiB resident in HBM)")
-        if multihost:
-            cache_dev = dist.put_global(cache_np, mesh_lib.replicated(mesh))
-        elif mesh is not None:
-            cache_dev = jax.device_put(cache_np, mesh_lib.replicated(mesh))
-        else:
-            cache_dev = jax.device_put(cache_np)
+        cache_dev = put_replicated(cache_np)
         del cache_np
         _cached = (build_train_step_cached(tc, dcfg, rcfg) if k == 1
                    else build_train_multi_step_cached(tc, dcfg, rcfg, k))
@@ -131,16 +136,7 @@ def train(tc: TrainConfig, debug: bool = False, loss_only: bool = False,
     if use_cache and corpus.val_batcher is not None:
         # the val pass revisits every (video, caption) pair — its own
         # (tiny) cache saves ~0.7 GB of upload per validation at MSVD scale
-        val_cache_np = corpus.val_dataset.feature_cache()
-        if multihost:
-            val_cache_dev = dist.put_global(val_cache_np,
-                                            mesh_lib.replicated(mesh))
-        elif mesh is not None:
-            val_cache_dev = jax.device_put(val_cache_np,
-                                           mesh_lib.replicated(mesh))
-        else:
-            val_cache_dev = jax.device_put(val_cache_np)
-        del val_cache_np
+        val_cache_dev = put_replicated(corpus.val_dataset.feature_cache())
         _val_cached = build_val_step_cached(tc, dcfg, rcfg)
         val_step = lambda dp, rp, rows, caps: _val_cached(
             dp, rp, val_cache_dev, rows, caps)
