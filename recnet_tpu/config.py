@@ -41,13 +41,16 @@ class SplitConfig:
 
     @property
     def caption_fpath(self) -> str:
+        if self.corpus == "MSR-VTT":
+            return f"{self.data_root}/{self.corpus}/metadata/videodatainfo.json"
         return f"{self.data_root}/{self.corpus}/metadata/MSR Video Description Corpus.csv"
 
     def split_video_fpath(self, split: str) -> str:
         return f"{self.data_root}/{self.corpus}/features/{self.encoder_model}_{split}.hdf5"
 
     def split_metadata_fpath(self, split: str) -> str:
-        return f"{self.data_root}/{self.corpus}/metadata/{split}.csv"
+        ext = "json" if self.corpus == "MSR-VTT" else "csv"
+        return f"{self.data_root}/{self.corpus}/metadata/{split}.{ext}"
 
     def to_json(self) -> str:
         return json.dumps(_asdict(self), indent=2)

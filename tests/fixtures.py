@@ -131,10 +131,15 @@ def make_msrvtt_fixture(root: str, n_videos: int = 10, feat_dim: int = 32,
     with h5py.File(os.path.join(feat_dir, f"{encoder}.hdf5"), "w") as f:
         for v, arr in videos.items():
             f[v] = arr
-    with open(os.path.join(meta_dir, "videodatainfo.json"), "w") as f:
-        json.dump({"sentences": sentences}, f)
-
     n_train, n_val, n_test = splits
+    # real MSR-VTT carries its official split in videos[*].split
+    # (train/validate/test) — the splitter CLI consumes exactly this
+    split_label = (["train"] * n_train + ["validate"] * n_val
+                   + ["test"] * n_test + ["train"] * len(vids))[:len(vids)]
+    with open(os.path.join(meta_dir, "videodatainfo.json"), "w") as f:
+        json.dump({"videos": [{"video_id": v, "split": s}
+                              for v, s in zip(vids, split_label)],
+                   "sentences": sentences}, f)
     split_vids = {"train": vids[:n_train],
                   "val": vids[n_train:n_train + n_val],
                   "test": vids[n_train + n_val:n_train + n_val + n_test]}

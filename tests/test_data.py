@@ -224,3 +224,33 @@ def test_eval_config_roundtrip():
     import json
     ec2 = EvalConfig.from_dict(json.loads(ec.to_json()))
     assert ec2 == ec
+
+
+def test_msrvtt_splitter(tmp_path):
+    """cli.split --corpus MSR-VTT regenerates the per-split HDF5/JSON files
+    from the full videodatainfo.json using its official split labels."""
+    import glob
+    import os
+    from fixtures import make_msrvtt_fixture
+    from recnet_tpu.cli import split as split_cli
+
+    root = str(tmp_path / "msrvtt")
+    make_msrvtt_fixture(root)
+    # drop the fixture's hand-written split files; the splitter must
+    # reproduce them from the full HDF5 + videodatainfo alone
+    for f in glob.glob(os.path.join(root, "MSR-VTT", "features",
+                                    "Tiny_*.hdf5")):
+        os.remove(f)
+    for f in glob.glob(os.path.join(root, "MSR-VTT", "metadata", "*.json")):
+        if not f.endswith("videodatainfo.json"):
+            os.remove(f)
+
+    split_cli.main(["--data_root", root, "--corpus", "MSR-VTT",
+                    "--encoder", "Tiny"])
+
+    cfg = tiny_train_config(root, corpus="MSR-VTT")
+    corpus = Corpus(cfg)
+    assert len(corpus.train_dataset) == 6 * 4
+    assert len(corpus.score_dataset) == 2
+    vid, video, caption = corpus.train_dataset.get(0)
+    assert video.shape == (cfg.encoder_output_len, cfg.encoder_output_size)
