@@ -32,6 +32,7 @@ def main():
                        for kv in sys.argv[6].split(","))
     ndev = int(sys.argv[7])
     ckpt_backend = sys.argv[8] if len(sys.argv) > 8 else "npz"
+    use_cache = len(sys.argv) > 9 and sys.argv[9] == "cache"
 
     os.environ["JAX_PLATFORMS"] = "cpu"
     flags = [f for f in os.environ.get("XLA_FLAGS", "").split()
@@ -63,7 +64,7 @@ def main():
     tc = tiny_train_config(
         root, batch_size=8, n_iterations=4,
         log_every=2, validate_every=4, test_every=4, save_every=4,
-        mesh_shape=mesh_shape)
+        mesh_shape=mesh_shape, device_feature_cache=use_cache)
 
     if ckpt_backend == "orbax":
         save_dir = os.path.join(os.path.dirname(out_dir.rstrip("/")),

@@ -37,13 +37,15 @@ def _free_port() -> int:
     return port
 
 
-def _run_rank(pid, nproc, port, root, out, mesh, ndev, backend="npz"):
+def _run_rank(pid, nproc, port, root, out, mesh, ndev, backend="npz",
+              cache=False):
     env = dict(os.environ)
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     env.pop("JAX_NUM_PROCESSES", None)
     return subprocess.Popen(
         [sys.executable, WORKER, str(pid), str(nproc), str(port),
-         root, out, mesh, str(ndev), backend],
+         root, out, mesh, str(ndev), backend,
+         "cache" if cache else "nocache"],
         env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
 
 
@@ -54,14 +56,16 @@ def _digest(stdout: str) -> float:
 
 
 
-def _run_two_proc(tmp_path, root, mesh_shape, backend="npz", tag=""):
+def _run_two_proc(tmp_path, root, mesh_shape, backend="npz", tag="",
+                  cache=False):
     """Run the 2-process pod with one retry for rendezvous timing flakes;
     returns (outs, results) of the successful attempt."""
     for attempt in range(2):
         port = _free_port()
         outs = [str(tmp_path / f"{tag}a{attempt}rank{i}") for i in range(2)]
         procs = [_run_rank(i, 2, port, root, outs[i], mesh_shape, 4,
-                           backend=backend) for i in range(2)]
+                           backend=backend, cache=cache)
+                 for i in range(2)]
         results = [pr.communicate(timeout=900) for pr in procs]
         if all(pr.returncode == 0 for pr in procs):
             return outs, results
@@ -136,3 +140,28 @@ def test_two_process_cooperative_orbax_checkpoint(tmp_path):
         mesh_shape=(("data", 1),)), vocab.n_vocabs)
     restored, meta2 = ckpt.load_checkpoint(step_dir, state)
     assert meta2["step"] == 4
+
+
+def test_two_process_training_with_device_cache(tmp_path):
+    """The device-feature-cache path under a REAL 2-process pod: the train
+    and val caches go through dist.put_global (replicated global arrays),
+    row indices ride the sharded batch stream — and the result matches a
+    single-process cached run bit-for-bit."""
+    from fixtures import make_msvd_fixture
+
+    root = str(tmp_path / "fixture")
+    make_msvd_fixture(root, n_videos=12, feat_dim=32)
+
+    base_out = str(tmp_path / "single")
+    p = _run_rank(0, 1, _free_port(), root, base_out, "data=8", 8,
+                  cache=True)
+    out0, err0 = p.communicate(timeout=900)
+    assert p.returncode == 0, f"single-process worker failed:\n{err0[-3000:]}"
+    base = _digest(out0)
+
+    outs, results = _run_two_proc(tmp_path, root, "data=8", tag="cache",
+                                  cache=True)
+    d0, d1 = (_digest(results[i][0]) for i in range(2))
+    assert d0 == d1, f"ranks disagree: {d0} vs {d1}"
+    assert d0 == pytest.approx(base, abs=0.0), \
+        f"cached multi-process {d0} != cached single-process {base}"
