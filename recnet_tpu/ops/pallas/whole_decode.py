@@ -36,7 +36,7 @@ def _kernel(enc_ref, uv_ref, emb_ref, attn_w_ref, attn_v_ref, attn_b_ref,
             w_ih_ref, w_hh_ref, b_ref, out_w_ref, out_b_ref, tok_out_ref,
             *, n_steps: int, n_frames: int, emb_size: int, feat_size: int,
             attn_size: int, hidden: int, vocab: int, sos: int,
-            early_exit: bool, cell_type: str = "GRU"):
+            early_exit: bool, cell_type: str = "GRU", ablate: str = ""):
     TB = tok_out_ref.shape[0]
     dtype = emb_ref.dtype
 
@@ -50,21 +50,48 @@ def _kernel(enc_ref, uv_ref, emb_ref, attn_w_ref, attn_v_ref, attn_b_ref,
     def step(t, carry):
         h, c_state, token, toks = carry                   # h (TB,H) dtype
         # --- embedding gather as one-hot matmul (MXU) ---
-        onehot = (iota_v == token).astype(dtype)          # (TB, V)
-        emb_t = jnp.dot(onehot, emb_ref[:],
-                        preferred_element_type=jnp.float32)  # (TB, E)
+        if "emb" in ablate:                               # cost attribution
+            emb_t = jnp.zeros((TB, emb_size), jnp.float32)
+        else:
+            onehot = (iota_v == token).astype(dtype)      # (TB, V)
+            emb_t = jnp.dot(onehot, emb_ref[:],
+                            preferred_element_type=jnp.float32)  # (TB, E)
         # --- unnormalized additive attention over resident enc ---
-        wh = jnp.dot(h, attn_w_ref[:],
-                     preferred_element_type=jnp.float32)  # (TB, A)
-        ctx = jnp.zeros((TB, feat_size), jnp.float32)
-        for c in range(n_frames):
-            uv_c = uv_ref[:, c * attn_size:(c + 1) * attn_size]
-            act = jnp.tanh(wh + uv_c.astype(jnp.float32) + attn_b)
-            score = jnp.dot(act, attn_v,
-                            preferred_element_type=jnp.float32)  # (TB,1)
-            enc_c = enc_ref[:, c * feat_size:(c + 1) * feat_size]
-            ctx = ctx + score * enc_c.astype(jnp.float32)
-        ctx = ctx / n_frames
+        if "attn" in ablate:                              # cost attribution
+            ctx = jnp.zeros((TB, feat_size), jnp.float32)
+        elif "score1" in ablate:   # attention minus the 28 score matvecs
+            wh = jnp.dot(h, attn_w_ref[:],
+                         preferred_element_type=jnp.float32)
+            ctx = jnp.zeros((TB, feat_size), jnp.float32)
+            for c in range(n_frames):
+                uv_c = uv_ref[:, c * attn_size:(c + 1) * attn_size]
+                act = jnp.tanh(wh + uv_c.astype(jnp.float32) + attn_b)
+                score = act[:, :1]          # skip the (A,1) matvec only
+                enc_c = enc_ref[:, c * feat_size:(c + 1) * feat_size]
+                ctx = ctx + score * enc_c.astype(jnp.float32)
+            ctx = ctx / n_frames
+        elif "fma" in ablate:      # attention minus the 28 context FMAs
+            wh = jnp.dot(h, attn_w_ref[:],
+                         preferred_element_type=jnp.float32)
+            acc = jnp.zeros((TB, 1), jnp.float32)
+            for c in range(n_frames):
+                uv_c = uv_ref[:, c * attn_size:(c + 1) * attn_size]
+                act = jnp.tanh(wh + uv_c.astype(jnp.float32) + attn_b)
+                acc = acc + jnp.dot(act, attn_v,
+                                    preferred_element_type=jnp.float32)
+            ctx = jnp.zeros((TB, feat_size), jnp.float32) + acc
+        else:
+            wh = jnp.dot(h, attn_w_ref[:],
+                         preferred_element_type=jnp.float32)  # (TB, A)
+            ctx = jnp.zeros((TB, feat_size), jnp.float32)
+            for c in range(n_frames):
+                uv_c = uv_ref[:, c * attn_size:(c + 1) * attn_size]
+                act = jnp.tanh(wh + uv_c.astype(jnp.float32) + attn_b)
+                score = jnp.dot(act, attn_v,
+                                preferred_element_type=jnp.float32)  # (TB,1)
+                enc_c = enc_ref[:, c * feat_size:(c + 1) * feat_size]
+                ctx = ctx + score * enc_c.astype(jnp.float32)
+            ctx = ctx / n_frames
         # --- RNN cell (PyTorch gate orders: GRU r,z,n / LSTM i,f,g,o) ---
         gi = (jnp.dot(emb_t.astype(dtype), w_ih_ref[:emb_size, :],
                       preferred_element_type=jnp.float32)
@@ -89,10 +116,41 @@ def _kernel(enc_ref, uv_ref, emb_ref, attn_w_ref, attn_v_ref, attn_b_ref,
             h_new = (o_g * jnp.tanh(c_new_f32)).astype(dtype)
             c_new = c_new_f32.astype(dtype)
         # --- vocab projection + argmax ---
-        logits = jnp.dot(h_new, out_w_ref[:],
-                         preferred_element_type=jnp.float32) \
-            + out_b_ref[0, :].astype(jnp.float32)
-        token_new = jnp.argmax(logits, axis=-1).astype(jnp.int32)[:, None]
+        if "proj" in ablate:                              # cost attribution
+            token_new = token
+        elif "nativeargmax" in ablate:
+            # Mosaic's jnp.argmax lowering — kept for A/B against the
+            # intkey default below (measured 5.9 ms slower per call at
+            # B=16384/TB=256: 124.0 vs 118.1 ms). Must be tested before
+            # the "argmax" ablation: it contains that substring.
+            logits = jnp.dot(h_new, out_w_ref[:],
+                             preferred_element_type=jnp.float32) \
+                + out_b_ref[0, :].astype(jnp.float32)
+            token_new = jnp.argmax(logits, axis=-1).astype(jnp.int32)[:, None]
+        elif "argmax" in ablate:
+            logits = jnp.dot(h_new, out_w_ref[:],
+                             preferred_element_type=jnp.float32) \
+                + out_b_ref[0, :].astype(jnp.float32)
+            token_new = jnp.max(logits, axis=-1).astype(
+                jnp.int32)[:, None]
+        else:
+            # argmax via an order-preserving f32->int32 key (sign-flip
+            # trick), an int max-reduce, then first-index-of-max via a
+            # min-reduce over iota — measured 4.8% faster than Mosaic's
+            # jnp.argmax lowering for the whole kernel. Exact same winner
+            # as argmax (first occurrence of the max) for all non-NaN
+            # logits except a row max of exactly -0.0 (keys order
+            # -0.0 < +0.0), which cannot arise from matmul+bias output
+            # except via an exact -0 + -0 cancellation.
+            logits = jnp.dot(h_new, out_w_ref[:],
+                             preferred_element_type=jnp.float32) \
+                + out_b_ref[0, :].astype(jnp.float32)
+            bits = jax.lax.bitcast_convert_type(logits, jnp.int32)
+            key = bits ^ ((bits >> 31) & jnp.int32(0x7FFFFFFF))
+            m = jnp.max(key, axis=-1, keepdims=True)
+            token_new = jnp.min(
+                jnp.where(key == m, iota_v, vocab),
+                axis=-1).astype(jnp.int32)[:, None]
         # record token at column t via one-hot select (dynamic_update_slice
         # is not lowerable in Mosaic)
         toks = jnp.where(iota_t == t, token_new, toks)
@@ -131,17 +189,23 @@ def _kernel(enc_ref, uv_ref, emb_ref, attn_w_ref, attn_v_ref, attn_b_ref,
 @functools.partial(jax.jit,
                    static_argnames=("emb_size", "max_len", "block_b",
                                     "sos", "cell_type", "early_exit",
-                                    "interpret"))
+                                    "interpret", "ablate"))
 def whole_greedy_decode(params: Dict, enc: jax.Array, uv: jax.Array,
                         bias2: jax.Array, *, emb_size: int, max_len: int,
                         block_b: int = 128, sos: int = 1,
                         cell_type: str = "GRU", early_exit: bool = False,
-                        interpret: bool = False) -> jax.Array:
+                        interpret: bool = False, ablate: str = "") -> jax.Array:
     """Run the full greedy decode in one pallas_call.
 
     params: decoder param dict (embedding, attention{W,w,b}, rnn[0], out_w,
     out_b); enc (B, L, F); uv (B, L, A) precomputed; bias2 (2, 3H).
     Returns tokens (B, T=max_len+1) int32.
+
+    ``ablate`` (debug/profiling only, benchmarks/profile_whole_decode.py):
+    comma-joinable part names ("emb", "attn", "score1", "fma", "proj",
+    "argmax") that stub out pieces of the step so per-part device cost can
+    be attributed by subtraction; "" (the default) is the production kernel
+    and its HLO is byte-identical to the pre-knob version.
     """
     B, L, F = enc.shape
     a = params["attention"]
@@ -163,7 +227,7 @@ def whole_greedy_decode(params: Dict, enc: jax.Array, uv: jax.Array,
     kernel = functools.partial(
         _kernel, n_steps=T, n_frames=L, emb_size=E, feat_size=F,
         attn_size=A, hidden=H, vocab=V, sos=sos, early_exit=early_exit,
-        cell_type=cell_type)
+        cell_type=cell_type, ablate=ablate)
 
     const = lambda i: (0, 0)
     tile = lambda i: (i, 0)
@@ -187,7 +251,9 @@ def whole_greedy_decode(params: Dict, enc: jax.Array, uv: jax.Array,
         out_specs=pl.BlockSpec((TB, T), tile, memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, T), jnp.int32),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            # TB=256 fits the default-ish 100 MB budget; TB=512 needs
+            # ~108 MB (v5e physical VMEM is ~128 MB) — NOTES.md.
+            vmem_limit_bytes=(112 if TB >= 512 else 100) * 1024 * 1024),
         interpret=interpret,
     )(enc2, uv2, emb, a["W"], a["w"], attn_b2, r["w_ih"], r["w_hh"],
       bias2, params["out_w"], out_b2)
