@@ -137,14 +137,69 @@ def generate_corpus(root: str, n_frames: int = 40, feat_dim: int = 1536,
           f"({vid_no} videos, {len(all_rows)} captions)", file=sys.stderr)
 
 
+def generate_corpus_msrvtt(root: str, n_frames: int = 40,
+                           feat_dim: int = 1536, caps_per_video: int = 20,
+                           seed: int = 0):
+    """Synthetic MSR-VTT at official scale: 10,013 videos labeled with the
+    standard train/validate/test split (6513/497/2990) inside a
+    videodatainfo-style JSON, 20 captions per video, one combined features
+    HDF5 — the layout `cli.split --corpus MSR-VTT` consumes. The latent
+    feature->sentence construction matches the MSVD generator."""
+    import h5py
+
+    rng = np.random.default_rng(seed)
+    words = sorted({w for pool in _POOLS.values() for w in pool} | {"the"})
+    word_to_i = {w: i for i, w in enumerate(words)}
+    W = rng.standard_normal((len(words), feat_dim)).astype(np.float32)
+    W /= np.sqrt(3.0)
+
+    feat_dir = os.path.join(root, "MSR-VTT", "features")
+    meta_dir = os.path.join(root, "MSR-VTT", "metadata")
+    os.makedirs(feat_dir, exist_ok=True)
+    os.makedirs(meta_dir, exist_ok=True)
+
+    sizes = (("train", 6513), ("validate", 497), ("test", 2990))
+    videos, sentences = [], []
+    t0 = time.time()
+    vid_no = 0
+    with h5py.File(os.path.join(feat_dir, "InceptionV4.hdf5"), "w") as f:
+        for split, n in sizes:
+            for _ in range(n):
+                vid = f"video{vid_no}"
+                vid_no += 1
+                latent = _latent_sentence(rng)
+                bow = np.zeros((len(words),), np.float32)
+                for w in latent:
+                    bow[word_to_i[w]] += 1.0
+                base = bow @ W
+                noise = 0.3 * rng.standard_normal(
+                    (n_frames, feat_dim)).astype(np.float32)
+                f[vid] = base[None, :] + noise
+                videos.append({"video_id": vid, "split": split})
+                for cap in _caption_variants(rng, latent, caps_per_video):
+                    sentences.append({"video_id": vid, "caption": cap})
+    with open(os.path.join(meta_dir, "videodatainfo.json"), "w") as f:
+        json.dump({"videos": videos, "sentences": sentences}, f)
+    print(f"[gen] MSR-VTT corpus written to {root} in "
+          f"{time.time() - t0:.0f}s ({vid_no} videos, "
+          f"{len(sentences)} captions)", file=sys.stderr)
+
+    # run the real splitter (official per-video labels)
+    from recnet_tpu.config import SplitConfig
+    from recnet_tpu.data.split import split as run_split
+    run_split(SplitConfig(corpus="MSR-VTT", data_root=root))
+
+
 # ---------------------------------------------------------------------------
 # The run
 # ---------------------------------------------------------------------------
 
 def main(argv=None):
     a = argparse.ArgumentParser()
+    a.add_argument("--corpus", choices=["MSVD", "MSR-VTT"], default="MSVD")
     a.add_argument("--iters", type=int, default=100000)
-    a.add_argument("--data_root", type=str, default="/tmp/synth_msvd")
+    a.add_argument("--data_root", type=str, default=None,
+                   help="default /tmp/synth_msvd or /tmp/synth_msrvtt")
     a.add_argument("--regen", action="store_true")
     a.add_argument("--loss_only", action="store_true",
                    help="skip the periodic decode+score blocks "
@@ -158,15 +213,23 @@ def main(argv=None):
                    help="k train steps per device dispatch (bit-identical "
                         "lax.scan; amortizes per-iteration link round-trips "
                         "on remote-attached chips)")
-    a.add_argument("--out", type=str,
-                   default=os.path.join(os.path.dirname(
-                       os.path.abspath(__file__)),
-                       "full_recipe_results.json"))
+    a.add_argument("--out", type=str, default=None,
+                   help="default benchmarks/full_recipe_results[_msrvtt]"
+                        "[suffixes].json")
     args = a.parse_args(argv)
 
-    marker = os.path.join(args.data_root, "MSVD", "metadata", "test.csv")
-    if args.regen or not os.path.exists(marker):
-        generate_corpus(args.data_root)
+    if args.data_root is None:
+        args.data_root = ("/tmp/synth_msrvtt" if args.corpus == "MSR-VTT"
+                          else "/tmp/synth_msvd")
+    if args.corpus == "MSR-VTT":
+        marker = os.path.join(args.data_root, "MSR-VTT", "metadata",
+                              "test.json")
+        if args.regen or not os.path.exists(marker):
+            generate_corpus_msrvtt(args.data_root)
+    else:
+        marker = os.path.join(args.data_root, "MSVD", "metadata", "test.csv")
+        if args.regen or not os.path.exists(marker):
+            generate_corpus(args.data_root)
 
     from recnet_tpu.config import TrainConfig
     from recnet_tpu.training.loop import train
@@ -175,6 +238,7 @@ def main(argv=None):
     # batch 100, lr 1e-5/1e-6, wd 1e-5, clip 50, uniform sampling, global
     # reconstructor; only the data root and cadence overrides differ
     tc = TrainConfig(
+        corpus=args.corpus,
         data_root=args.data_root,
         use_recon=True, reconstructor_type="global",
         n_iterations=args.iters,
@@ -208,15 +272,23 @@ def main(argv=None):
         scores[name] = evaluate(eval_tc, corpus, state.dec_params, dcfg,
                                 method)
     summary = {
-        "recipe": "global-recon, batch 100 (reference README.md:84-88)",
+        "recipe": f"{args.corpus} global-recon, batch 100 "
+                  "(reference README.md:84-88)",
+        "corpus_name": args.corpus,
         "iterations": args.iters,
         "wall_seconds": round(wall, 1),
         "steps_per_sec": round(args.iters / wall, 1),
         "device_feature_cache": not args.no_cache,
         "steps_per_dispatch": args.steps_per_dispatch,
         "final_scores": scores,
-        "corpus": "synthetic MSVD-scale (learnable; see module docstring)",
+        "corpus": f"synthetic {args.corpus}-scale (learnable; see module "
+                  "docstring)",
     }
+    if args.out is None:
+        stem = ("full_recipe_results_msrvtt" if args.corpus == "MSR-VTT"
+                else "full_recipe_results")
+        args.out = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), stem + ".json")
     with open(args.out, "w") as f:
         json.dump(summary, f, indent=2)
     print(json.dumps(summary))
