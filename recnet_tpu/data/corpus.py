@@ -81,7 +81,12 @@ class Corpus:
             self.test_dataset = self._dataset("test")
             self.test_batcher = self._batcher(self.test_dataset)
         if config.build_score_data_loader:
-            videos = D.load_videos_hdf5(self.C.video_fpath("test"))
+            # share the test split's in-RAM videos when both loaders are
+            # built (read-only dict; at MSR-VTT scale loading it twice
+            # costs an extra 736 MB of I/O + RAM)
+            videos = (self.test_dataset.videos
+                      if self.test_dataset is not None
+                      else D.load_videos_hdf5(self.C.video_fpath("test")))
             self.score_dataset = D.ScoreDataset(videos, self.transform_frame)
             # The reference shuffles even the score loader (config.py:52,
             # dataset/MSVD.py:159); we keep insertion order for determinism —
