@@ -86,17 +86,42 @@ def _caption_variants(rng, latent, n):
     return out
 
 
+class _LatentFeatures:
+    """The shared learnable construction: a fixed random bag-of-words ->
+    feature-space projection; each video's frames are its latent sentence's
+    projected bag plus per-frame noise (both synthetic corpora use this so
+    the MSVD and MSR-VTT tasks stay structurally identical)."""
+
+    def __init__(self, rng, feat_dim: int):
+        self.rng = rng
+        words = sorted({w for pool in _POOLS.values() for w in pool}
+                       | {"the"})
+        self.word_to_i = {w: i for i, w in enumerate(words)}
+        # fixed random projection: bag-of-words -> feature space
+        self.W = rng.standard_normal(
+            (len(words), feat_dim)).astype(np.float32)
+        self.W /= np.sqrt(3.0)  # ~3 content words/frame keeps feats ~N(0,1)
+        self.feat_dim = feat_dim
+
+    def video(self, n_frames: int):
+        """-> (latent sentence words, (n_frames, feat_dim) features)."""
+        latent = _latent_sentence(self.rng)
+        bow = np.zeros((len(self.word_to_i),), np.float32)
+        for w in latent:
+            bow[self.word_to_i[w]] += 1.0
+        base = bow @ self.W                       # (feat_dim,)
+        noise = 0.3 * self.rng.standard_normal(
+            (n_frames, self.feat_dim)).astype(np.float32)
+        return latent, base[None, :] + noise
+
+
 def generate_corpus(root: str, n_frames: int = 40, feat_dim: int = 1536,
                     caps_per_video: int = 40, seed: int = 0):
     import h5py
     import pandas as pd
 
     rng = np.random.default_rng(seed)
-    words = sorted({w for pool in _POOLS.values() for w in pool} | {"the"})
-    word_to_i = {w: i for i, w in enumerate(words)}
-    # fixed random projection: bag-of-words -> feature space
-    W = rng.standard_normal((len(words), feat_dim)).astype(np.float32)
-    W /= np.sqrt(3.0)  # ~3 content words/frame keeps features ~N(0,1)
+    lat = _LatentFeatures(rng, feat_dim)
 
     feat_dir = os.path.join(root, "MSVD", "features")
     meta_dir = os.path.join(root, "MSVD", "metadata")
@@ -114,14 +139,8 @@ def generate_corpus(root: str, n_frames: int = 40, feat_dim: int = 1536,
             for _ in range(n_videos):
                 vid = f"vid{vid_no:05d}_0_{10 + vid_no % 50}"
                 vid_no += 1
-                latent = _latent_sentence(rng)
-                bow = np.zeros((len(words),), np.float32)
-                for w in latent:
-                    bow[word_to_i[w]] += 1.0
-                base = bow @ W                      # (feat_dim,)
-                noise = 0.3 * rng.standard_normal(
-                    (n_frames, feat_dim)).astype(np.float32)
-                f[vid] = base[None, :] + noise
+                latent, feats = lat.video(n_frames)
+                f[vid] = feats
                 vid_id, start, end = vid.rsplit("_", 2)
                 for cap in _caption_variants(rng, latent, caps_per_video):
                     split_rows.append({
@@ -140,18 +159,16 @@ def generate_corpus(root: str, n_frames: int = 40, feat_dim: int = 1536,
 def generate_corpus_msrvtt(root: str, n_frames: int = 40,
                            feat_dim: int = 1536, caps_per_video: int = 20,
                            seed: int = 0):
-    """Synthetic MSR-VTT at official scale: 10,013 videos labeled with the
+    """Synthetic MSR-VTT at official scale: 10,000 videos labeled with the
     standard train/validate/test split (6513/497/2990) inside a
     videodatainfo-style JSON, 20 captions per video, one combined features
     HDF5 — the layout `cli.split --corpus MSR-VTT` consumes. The latent
-    feature->sentence construction matches the MSVD generator."""
+    feature->sentence construction is shared with the MSVD generator
+    (_LatentFeatures)."""
     import h5py
 
     rng = np.random.default_rng(seed)
-    words = sorted({w for pool in _POOLS.values() for w in pool} | {"the"})
-    word_to_i = {w: i for i, w in enumerate(words)}
-    W = rng.standard_normal((len(words), feat_dim)).astype(np.float32)
-    W /= np.sqrt(3.0)
+    lat = _LatentFeatures(rng, feat_dim)
 
     feat_dir = os.path.join(root, "MSR-VTT", "features")
     meta_dir = os.path.join(root, "MSR-VTT", "metadata")
@@ -167,14 +184,8 @@ def generate_corpus_msrvtt(root: str, n_frames: int = 40,
             for _ in range(n):
                 vid = f"video{vid_no}"
                 vid_no += 1
-                latent = _latent_sentence(rng)
-                bow = np.zeros((len(words),), np.float32)
-                for w in latent:
-                    bow[word_to_i[w]] += 1.0
-                base = bow @ W
-                noise = 0.3 * rng.standard_normal(
-                    (n_frames, feat_dim)).astype(np.float32)
-                f[vid] = base[None, :] + noise
+                latent, feats = lat.video(n_frames)
+                f[vid] = feats
                 videos.append({"video_id": vid, "split": split})
                 for cap in _caption_variants(rng, latent, caps_per_video):
                     sentences.append({"video_id": vid, "caption": cap})
@@ -214,8 +225,10 @@ def main(argv=None):
                         "lax.scan; amortizes per-iteration link round-trips "
                         "on remote-attached chips)")
     a.add_argument("--out", type=str, default=None,
-                   help="default benchmarks/full_recipe_results[_msrvtt]"
-                        "[suffixes].json")
+                   help="default benchmarks/full_recipe_results.json "
+                        "(MSVD) or full_recipe_results_msrvtt.json "
+                        "(MSR-VTT); pass an explicit path to avoid "
+                        "overwriting a kept record")
     args = a.parse_args(argv)
 
     if args.data_root is None:

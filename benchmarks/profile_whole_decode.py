@@ -26,9 +26,8 @@ from __future__ import annotations
 import argparse
 import json
 import os
-import time
-
 import sys
+import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
@@ -101,7 +100,7 @@ def main():
                 continue
             print(f"  {ab:8s} {1e3 * (full - t):7.2f} ms "
                   f"({100 * (full - t) / full:5.1f}% of full)")
-    print(json.dumps({k: v for k, v in results.items()}))
+    print(json.dumps(results))
 
 
 if __name__ == "__main__":

@@ -139,9 +139,12 @@ def _kernel(enc_ref, uv_ref, emb_ref, attn_w_ref, attn_v_ref, attn_b_ref,
             # min-reduce over iota — measured 4.8% faster than Mosaic's
             # jnp.argmax lowering for the whole kernel. Exact same winner
             # as argmax (first occurrence of the max) for all non-NaN
-            # logits except a row max of exactly -0.0 (keys order
-            # -0.0 < +0.0), which cannot arise from matmul+bias output
-            # except via an exact -0 + -0 cancellation.
+            # logits except rows whose float max is zero with mixed zero
+            # signs: the keys order -0.0 < +0.0 while argmax treats them
+            # equal, so e.g. [-0.0 at i, +0.0 at j>i] picks j instead of
+            # i. A zero logit requires h@w + b to cancel exactly;
+            # unobservable on real models, and the tie test below pins
+            # the ordinary exact-duplicate case.
             logits = jnp.dot(h_new, out_w_ref[:],
                              preferred_element_type=jnp.float32) \
                 + out_b_ref[0, :].astype(jnp.float32)
