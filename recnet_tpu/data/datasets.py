@@ -120,13 +120,23 @@ class CaptionDataset:
         deterministic (uniform sampling): a cache would otherwise freeze
         one random frame draw for the whole run.
         """
-        feats = []
-        for vid in self.videos:
+        # Write transformed rows straight into one preallocated block
+        # instead of list-then-np.stack: the stack route materializes the
+        # cache twice (per-video copies + the stacked result), and on
+        # lazily-faulted VMs (NOTES.md: ~30 MB/s first-touch) that doubles
+        # a multi-hundred-MB startup cost at MSR-VTT scale.
+        out: Optional[np.ndarray] = None
+        for i, vid in enumerate(self.videos):
             x = self.videos[vid]
             if self.transform_frame is not None:
                 x = self.transform_frame(x)
-            feats.append(np.asarray(x, np.float32))
-        return np.stack(feats)
+            x = np.asarray(x, np.float32)
+            if out is None:
+                out = np.empty((len(self.videos),) + x.shape, np.float32)
+            out[i] = x
+        if out is None:
+            raise ValueError("feature_cache() of an empty dataset")
+        return out
 
     def get_indexed(self, idx: int):
         """(vid, video row index into :meth:`feature_cache`, caption) —
