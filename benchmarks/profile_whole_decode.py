@@ -73,10 +73,13 @@ def main():
 
     results = {}
     for ab in ablations:
-        fn = lambda e, u: whole_greedy_decode(
+        # "dual" selects the experimental interleaved-halves kernel
+        # rather than an ablation of the production one
+        fn = lambda e, u, ab=ab: whole_greedy_decode(
             params, e, u, bias2, emb_size=cfg.embedding_size,
             max_len=tc.caption_max_len, block_b=args.block_b,
-            sos=cfg.sos_token, cell_type=cfg.cell_type, ablate=ab)
+            sos=cfg.sos_token, cell_type=cfg.cell_type,
+            ablate="" if ab == "dual" else ab, dual=(ab == "dual"))
         t0 = time.perf_counter()
         np.asarray(fn(enc, uv))
         t_first = time.perf_counter() - t0

@@ -32,6 +32,107 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _dual_kernel(enc_ref, uv_ref, emb_ref, attn_w_ref, attn_v_ref,
+                 attn_b_ref, w_ih_ref, w_hh_ref, b_ref, out_w_ref,
+                 out_b_ref, tok_out_ref, *, n_steps: int, n_frames: int,
+                 emb_size: int, feat_size: int, attn_size: int, hidden: int,
+                 vocab: int, sos: int, cell_type: str = "GRU"):
+    """Experimental: process the tile as two independent row-halves with
+    phase-interleaved op emission (A's matmul adjacent to B's elementwise),
+    giving the scheduler a chance to overlap MXU and VPU work — the
+    ablation profile (DESIGN.md §3) showed the single-stream step's part
+    costs add linearly, i.e. no overlap today. Same math per half as
+    _kernel's production path (int-key argmax)."""
+    TB = tok_out_ref.shape[0]
+    TH = TB // 2
+    dtype = emb_ref.dtype
+
+    attn_v = attn_v_ref[:].astype(jnp.float32)
+    attn_b = attn_b_ref[0, :].astype(jnp.float32)
+    b_ih = b_ref[0, :].astype(jnp.float32)
+    b_hh = b_ref[1, :].astype(jnp.float32)
+    iota_v = jax.lax.broadcasted_iota(jnp.int32, (TH, vocab), 1)
+    iota_t = jax.lax.broadcasted_iota(jnp.int32, (TH, n_steps), 1)
+    halves = (slice(0, TH), slice(TH, TB))
+    H = hidden
+
+    def step(t, carry):
+        hs, cs, tks, toks = carry            # tuples of per-half arrays
+        # phase: one-hot build (VPU) — emitted for both halves first
+        oh = tuple((iota_v == tks[i]).astype(dtype) for i in (0, 1))
+        # phase: embedding matmul (MXU)
+        emb_t = tuple(jnp.dot(oh[i], emb_ref[:],
+                              preferred_element_type=jnp.float32)
+                      for i in (0, 1))
+        # phase: attention
+        wh = tuple(jnp.dot(hs[i], attn_w_ref[:],
+                           preferred_element_type=jnp.float32)
+                   for i in (0, 1))
+        ctx = [jnp.zeros((TH, feat_size), jnp.float32) for _ in (0, 1)]
+        for c in range(n_frames):
+            for i in (0, 1):
+                uv_c = uv_ref[halves[i], c * attn_size:(c + 1) * attn_size]
+                act = jnp.tanh(wh[i] + uv_c.astype(jnp.float32) + attn_b)
+                score = jnp.dot(act, attn_v,
+                                preferred_element_type=jnp.float32)
+                enc_c = enc_ref[halves[i],
+                                c * feat_size:(c + 1) * feat_size]
+                ctx[i] = ctx[i] + score * enc_c.astype(jnp.float32)
+        ctx = tuple(x / n_frames for x in ctx)
+        # phase: gates
+        gi = tuple(
+            jnp.dot(emb_t[i].astype(dtype), w_ih_ref[:emb_size, :],
+                    preferred_element_type=jnp.float32)
+            + jnp.dot(ctx[i].astype(dtype), w_ih_ref[emb_size:, :],
+                      preferred_element_type=jnp.float32) + b_ih
+            for i in (0, 1))
+        gh = tuple(jnp.dot(hs[i], w_hh_ref[:],
+                           preferred_element_type=jnp.float32) + b_hh
+                   for i in (0, 1))
+        h_new, c_new = [None, None], [None, None]
+        for i in (0, 1):
+            if cell_type == "GRU":
+                r = jax.nn.sigmoid(gi[i][:, :H] + gh[i][:, :H])
+                z = jax.nn.sigmoid(gi[i][:, H:2 * H] + gh[i][:, H:2 * H])
+                n = jnp.tanh(gi[i][:, 2 * H:] + r * gh[i][:, 2 * H:])
+                h_new[i] = ((1.0 - z) * n
+                            + z * hs[i].astype(jnp.float32)).astype(dtype)
+                c_new[i] = cs[i]
+            else:
+                g = gi[i] + gh[i]
+                i_g = jax.nn.sigmoid(g[:, :H])
+                f_g = jax.nn.sigmoid(g[:, H:2 * H])
+                g_g = jnp.tanh(g[:, 2 * H:3 * H])
+                o_g = jax.nn.sigmoid(g[:, 3 * H:])
+                c_f32 = f_g * cs[i].astype(jnp.float32) + i_g * g_g
+                h_new[i] = (o_g * jnp.tanh(c_f32)).astype(dtype)
+                c_new[i] = c_f32.astype(dtype)
+        # phase: projection (MXU) then int-key argmax (VPU)
+        logits = tuple(jnp.dot(h_new[i], out_w_ref[:],
+                               preferred_element_type=jnp.float32)
+                       + out_b_ref[0, :].astype(jnp.float32)
+                       for i in (0, 1))
+        tok_new = [None, None]
+        for i in (0, 1):
+            bits = jax.lax.bitcast_convert_type(logits[i], jnp.int32)
+            key = bits ^ ((bits >> 31) & jnp.int32(0x7FFFFFFF))
+            m = jnp.max(key, axis=-1, keepdims=True)
+            tok_new[i] = jnp.min(
+                jnp.where(key == m, iota_v, vocab),
+                axis=-1).astype(jnp.int32)[:, None]
+        toks = tuple(jnp.where(iota_t == t, tok_new[i], toks[i])
+                     for i in (0, 1))
+        return (tuple(h_new), tuple(c_new), tuple(tok_new), toks)
+
+    zeros = lambda: tuple(jnp.zeros((TH, hidden), dtype) for _ in (0, 1))
+    tok0 = tuple(jnp.full((TH, 1), sos, jnp.int32) for _ in (0, 1))
+    toks0 = tuple(jnp.zeros((TH, n_steps), jnp.int32) for _ in (0, 1))
+    _, _, _, toks = jax.lax.fori_loop(
+        0, n_steps, step, (zeros(), zeros(), tok0, toks0))
+    tok_out_ref[:TH] = toks[0]
+    tok_out_ref[TH:] = toks[1]
+
+
 def _kernel(enc_ref, uv_ref, emb_ref, attn_w_ref, attn_v_ref, attn_b_ref,
             w_ih_ref, w_hh_ref, b_ref, out_w_ref, out_b_ref, tok_out_ref,
             *, n_steps: int, n_frames: int, emb_size: int, feat_size: int,
@@ -192,12 +293,13 @@ def _kernel(enc_ref, uv_ref, emb_ref, attn_w_ref, attn_v_ref, attn_b_ref,
 @functools.partial(jax.jit,
                    static_argnames=("emb_size", "max_len", "block_b",
                                     "sos", "cell_type", "early_exit",
-                                    "interpret", "ablate"))
+                                    "interpret", "ablate", "dual"))
 def whole_greedy_decode(params: Dict, enc: jax.Array, uv: jax.Array,
                         bias2: jax.Array, *, emb_size: int, max_len: int,
                         block_b: int = 128, sos: int = 1,
                         cell_type: str = "GRU", early_exit: bool = False,
-                        interpret: bool = False, ablate: str = "") -> jax.Array:
+                        interpret: bool = False, ablate: str = "",
+                        dual: bool = False) -> jax.Array:
     """Run the full greedy decode in one pallas_call.
 
     params: decoder param dict (embedding, attention{W,w,b}, rnn[0], out_w,
@@ -227,10 +329,16 @@ def whole_greedy_decode(params: Dict, enc: jax.Array, uv: jax.Array,
     attn_b2 = a["b"][None, :]
     out_b2 = params["out_b"][None, :]
 
-    kernel = functools.partial(
-        _kernel, n_steps=T, n_frames=L, emb_size=E, feat_size=F,
-        attn_size=A, hidden=H, vocab=V, sos=sos, early_exit=early_exit,
-        cell_type=cell_type, ablate=ablate)
+    if dual:
+        assert not early_exit and not ablate and TB % 2 == 0
+        kernel = functools.partial(
+            _dual_kernel, n_steps=T, n_frames=L, emb_size=E, feat_size=F,
+            attn_size=A, hidden=H, vocab=V, sos=sos, cell_type=cell_type)
+    else:
+        kernel = functools.partial(
+            _kernel, n_steps=T, n_frames=L, emb_size=E, feat_size=F,
+            attn_size=A, hidden=H, vocab=V, sos=sos, early_exit=early_exit,
+            cell_type=cell_type, ablate=ablate)
 
     const = lambda i: (0, 0)
     tile = lambda i: (i, 0)

@@ -219,3 +219,27 @@ def test_whole_decode_intkey_ties_pick_first_index():
         block_b=8, sos=cfg.sos_token, cell_type=cfg.cell_type,
         interpret=True)
     assert (np.asarray(toks) == 5).all()
+
+
+def test_whole_decode_dual_matches_single(rng):
+    """The experimental interleaved-halves kernel (dual=True) is
+    token-exact vs the production single-stream kernel (measured only
+    +1.7% on hardware — kept as the scaffold for engine-overlap
+    experiments; DESIGN.md §3)."""
+    from recnet_tpu.ops.pallas.whole_decode import whole_greedy_decode
+
+    for cell in ("GRU", "LSTM"):
+        cfg = dec_mod.DecoderConfig(
+            cell_type=cell, n_layers=1, vocab_size=V, embedding_size=E,
+            embedding_scale=1.0, encoder_size=F, hidden_size=H, attn_size=A,
+            embedding_dropout=0.0, dropout=0.0, out_dropout=0.0)
+        params = dec_mod.init_decoder_params(jax.random.PRNGKey(4), cfg)
+        enc = jnp.asarray(rng.standard_normal((B, L, F)).astype(np.float32))
+        uv = attn_ops.precompute_uv(params["attention"], enc)
+        r = params["rnn"][0]
+        bias2 = jnp.stack([r["b_ih"], r["b_hh"]])
+        kw = dict(emb_size=cfg.embedding_size, max_len=9, block_b=B,
+                  sos=cfg.sos_token, cell_type=cfg.cell_type, interpret=True)
+        one = whole_greedy_decode(params, enc, uv, bias2, **kw)
+        two = whole_greedy_decode(params, enc, uv, bias2, dual=True, **kw)
+        np.testing.assert_array_equal(np.asarray(two), np.asarray(one))
