@@ -218,6 +218,9 @@ def main(argv=None):
     a.add_argument("--no_cache", action="store_true",
                    help="disable device_feature_cache (measures the "
                         "host-upload-bound baseline)")
+    a.add_argument("--no_bundle", action="store_true",
+                   help="disable the preprocessed-corpus bundle (measures "
+                        "the rebuild-everything-from-raw startup baseline)")
     a.add_argument("--validate_every", type=int, default=5000)
     a.add_argument("--test_every", type=int, default=10000)
     a.add_argument("--steps_per_dispatch", type=int, default=1,
@@ -259,6 +262,7 @@ def main(argv=None):
         test_every=args.test_every,
         save_every=args.iters,
         device_feature_cache=not args.no_cache,
+        data_bundle=not args.no_bundle,
         steps_per_dispatch=args.steps_per_dispatch,
     )
     run_dir = os.path.join(args.data_root, "run")
@@ -267,6 +271,8 @@ def main(argv=None):
                   log_dir=os.path.join(run_dir, "logs"),
                   save_dir=os.path.join(run_dir, "ckpt"))
     wall = time.time() - t0
+    from recnet_tpu.training import loop as _loop
+    setup_seconds = _loop.LAST_SETUP_SECONDS
 
     # final held-out evaluation, greedy + beam-5 (reference eval.py route)
     from recnet_tpu.data import Corpus
@@ -290,8 +296,10 @@ def main(argv=None):
         "corpus_name": args.corpus,
         "iterations": args.iters,
         "wall_seconds": round(wall, 1),
+        "setup_seconds": round(setup_seconds, 1),
         "steps_per_sec": round(args.iters / wall, 1),
         "device_feature_cache": not args.no_cache,
+        "data_bundle": not args.no_bundle,
         "steps_per_dispatch": args.steps_per_dispatch,
         "final_scores": scores,
         "corpus": f"synthetic {args.corpus}-scale (learnable; see module "

@@ -49,6 +49,11 @@ def main(argv=None):
                    help="keep all train video features resident in HBM and "
                         "send only row indices per step (bit-identical; "
                         "requires uniform frame sampling)")
+    a.add_argument("--data_bundle", action="store_true",
+                   help="build/load the preprocessed-corpus bundle (packed "
+                        "features + tokenized captions + vocab, mmapped on "
+                        "subsequent starts; bit-identical batches; requires "
+                        "uniform frame sampling)")
     args = a.parse_args(argv)
     if args.async_ckpt and args.ckpt_backend != "orbax":
         a.error("--async_ckpt requires --ckpt_backend orbax "
@@ -79,6 +84,8 @@ def main(argv=None):
         tc = tc.replace(steps_per_dispatch=args.steps_per_dispatch)
     if args.device_feature_cache:
         tc = tc.replace(device_feature_cache=True)
+    if args.data_bundle:
+        tc = tc.replace(data_bundle=True)
 
     train(tc, debug=args.debug, loss_only=args.loss_only,
           resume_from=args.resume, use_mesh=use_mesh,

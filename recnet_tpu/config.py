@@ -170,6 +170,15 @@ class TrainConfig:
     # the uncached path then; stochastic sampling would be frozen by a
     # cache, so it is rejected).
     device_feature_cache: bool = False
+    # Preprocessed-corpus bundle (data/bundle.py): pack features (frame
+    # pipeline applied), tokenized caption matrices, row maps and the vocab
+    # into one versioned on-disk artifact keyed on config+input-file hashes;
+    # subsequent starts mmap it and reach iteration 1 in seconds instead of
+    # re-running the reference's load-everything prep (dataset/MSVD.py:234-240)
+    # — bit-identical batches either way (tests/test_bundle.py). Requires
+    # frame_sampling_method="uniform" (deterministic).
+    data_bundle: bool = False
+    data_bundle_root: str = ""        # default: {data_root}/{corpus}/bundles
 
     # ---- derived (reference: config.py:105-134) ----
 

@@ -52,6 +52,21 @@ class Corpus:
         self.transform_frame = T.frame_pipeline(
             config.frame_sampling_method, config.encoder_output_len, rng)
 
+        # preprocessed-corpus bundle (config.data_bundle): every dataset
+        # below comes from the packed artifact instead of raw CSV/HDF5 —
+        # batch-for-batch identical, but startup is an mmap, not a rebuild
+        self._bundle = None
+        if getattr(config, "data_bundle", False):
+            from recnet_tpu.data import bundle as B
+            self._bundle = B.load_or_build(config)
+            if vocab is not None and vocab.word2idx != self._bundle.vocab.word2idx:
+                raise ValueError(
+                    "explicit vocab does not match the bundle's vocab "
+                    f"({len(vocab.word2idx)} vs "
+                    f"{len(self._bundle.vocab.word2idx)} words); the bundle "
+                    "was built for different preprocessing inputs")
+            vocab = self._bundle.vocab
+
         self.vocab = vocab if vocab is not None else self.build_vocab()
 
         self.transform_caption = T.caption_pipeline(
@@ -81,13 +96,19 @@ class Corpus:
             self.test_dataset = self._dataset("test")
             self.test_batcher = self._batcher(self.test_dataset)
         if config.build_score_data_loader:
-            # share the test split's in-RAM videos when both loaders are
-            # built (read-only dict; at MSR-VTT scale loading it twice
-            # costs an extra 736 MB of I/O + RAM)
-            videos = (self.test_dataset.videos
-                      if self.test_dataset is not None
-                      else D.load_videos_hdf5(self.C.video_fpath("test")))
-            self.score_dataset = D.ScoreDataset(videos, self.transform_frame)
+            if self._bundle is not None:
+                # packed test features are already frame-transformed;
+                # BundledScoreDataset serves them without re-applying
+                self.score_dataset = self._bundle.score_dataset()
+            else:
+                # share the test split's in-RAM videos when both loaders are
+                # built (read-only dict; at MSR-VTT scale loading it twice
+                # costs an extra 736 MB of I/O + RAM)
+                videos = (self.test_dataset.videos
+                          if self.test_dataset is not None
+                          else D.load_videos_hdf5(self.C.video_fpath("test")))
+                self.score_dataset = D.ScoreDataset(videos,
+                                                    self.transform_frame)
             # The reference shuffles even the score loader (config.py:52,
             # dataset/MSVD.py:159); we keep insertion order for determinism —
             # evaluate() deduplicates by vid either way.
@@ -126,7 +147,9 @@ class Corpus:
         vocab.build(self._load_caption_values(), self.transform_sentence)
         return vocab
 
-    def _dataset(self, split: str) -> D.CaptionDataset:
+    def _dataset(self, split: str):
+        if self._bundle is not None:
+            return self._bundle.datasets[split]
         videos = D.load_videos_hdf5(self.C.video_fpath(split))
         captions = self._load_captions(self.C.caption_fpath(split))
         return D.CaptionDataset(videos, captions,

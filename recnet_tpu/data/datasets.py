@@ -133,6 +133,14 @@ class CaptionDataset:
             x = np.asarray(x, np.float32)
             if out is None:
                 out = np.empty((len(self.videos),) + x.shape, np.float32)
+            if x.shape != out.shape[1:]:
+                # keep heterogeneous inputs a loud error (np.stack raised
+                # here before the preallocate+fill rewrite; a bare
+                # `out[i] = x` would silently broadcast a (1, F) or (F,)
+                # video into the row)
+                raise ValueError(
+                    f"video {vid!r} has shape {x.shape}, expected "
+                    f"{out.shape[1:]}")
             out[i] = x
         if out is None:
             raise ValueError("feature_cache() of an empty dataset")

@@ -330,7 +330,13 @@ def whole_greedy_decode(params: Dict, enc: jax.Array, uv: jax.Array,
     out_b2 = params["out_b"][None, :]
 
     if dual:
-        assert not early_exit and not ablate and TB % 2 == 0
+        # argument validation, not an invariant — must survive python -O
+        if early_exit or ablate:
+            raise ValueError(
+                "dual=True does not support early_exit or ablate")
+        if TB % 2 != 0:
+            raise ValueError(
+                f"dual=True needs an even batch tile, got block_b tile {TB}")
         kernel = functools.partial(
             _dual_kernel, n_steps=T, n_frames=L, emb_size=E, feat_size=F,
             attn_size=A, hidden=H, vocab=V, sos=sos, cell_type=cell_type)

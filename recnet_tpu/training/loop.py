@@ -31,6 +31,11 @@ from recnet_tpu import checkpoint as ckpt
 from recnet_tpu.parallel import mesh as mesh_lib
 from recnet_tpu.parallel import distributed as dist
 
+# time-to-first-iteration of the most recent train() call on this process
+# (corpus build or bundle mmap + state init + cache placement) — benchmark
+# scripts read it to record startup cost next to steps/sec
+LAST_SETUP_SECONDS: float = float("nan")
+
 
 def train(tc: TrainConfig, debug: bool = False, loss_only: bool = False,
           resume_from: Optional[str] = None, use_mesh: bool = False,
@@ -77,6 +82,7 @@ def train(tc: TrainConfig, debug: bool = False, loss_only: bool = False,
                     f"{name}={every} must be a multiple of "
                     f"steps_per_dispatch={k}")
     say = print if primary else (lambda *a, **k: None)
+    t_setup = time.time()
     say(f"MODEL ID: {tc.id}")
     say(f"DEBUG MODE: {'ON' if debug else 'OFF'}")
 
@@ -169,6 +175,12 @@ def train(tc: TrainConfig, debug: bool = False, loss_only: bool = False,
                                       sharding=sharding)
 
     train_loss = train_dec = train_rec = 0.0
+    # time-to-first-iteration: everything above (corpus build or bundle
+    # mmap, state init, cache placement) is the host-side startup cost the
+    # data bundle exists to kill — make it visible on every run
+    global LAST_SETUP_SECONDS
+    LAST_SETUP_SECONDS = time.time() - t_setup
+    say(f"[setup] corpus + state ready in {LAST_SETUP_SECONDS:.1f}s")
     t_start = time.time()
     start_iter = int(state.step)
 

@@ -1,0 +1,157 @@
+"""Preprocessed-corpus bundle (data/bundle.py): round-trip, bit-identical
+batches vs the fresh-build path, key invalidation, and the training-loop
+integration. The bundle replaces the reference's rebuild-everything startup
+(reference: dataset/MSVD.py:234-240, eval.py:185) — correctness bar is
+batch-for-batch equality with that path."""
+
+import os
+
+import numpy as np
+import pytest
+
+from recnet_tpu.data import Corpus, bundle as B
+
+from fixtures import make_msvd_fixture, tiny_train_config
+
+
+@pytest.fixture(scope="module")
+def fixture_root(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("msvd_bundle"))
+    make_msvd_fixture(root)
+    return root
+
+
+def _tc(root, **kw):
+    return tiny_train_config(root, **kw)
+
+
+def test_bundle_builds_and_loads(fixture_root, tmp_path):
+    tc = _tc(fixture_root, data_bundle=True,
+             data_bundle_root=str(tmp_path / "bundles"))
+    path = B.bundle_dir(tc)
+    assert not os.path.isdir(path)
+    b = B.load_or_build(tc)
+    assert os.path.isdir(path)
+    assert set(b.datasets) == {"train", "val", "test"}
+    for split, ds in b.datasets.items():
+        assert ds.feats.shape[1:] == (tc.encoder_output_len,
+                                      tc.encoder_output_size)
+        assert ds.captions.shape == (len(ds), b.vocab.max_sentence_len + 1)
+        assert ds.captions.dtype == np.int32
+        assert len(ds.rows) == len(ds.raw_captions) == len(ds)
+    # second load hits the artifact — no rebuild (build_bundle would fail
+    # loudly here if it ran, because we poison it)
+    b2 = B.load_or_build(
+        tc, log=lambda m: (_ for _ in ()).throw(AssertionError(m))
+        if "building" in m else None)
+    assert b2.vocab.word2idx == b.vocab.word2idx
+
+
+def test_bundled_corpus_is_bit_identical(fixture_root, tmp_path):
+    """The headline contract: fresh-build and bundled corpora produce
+    identical vocab, pairs, feature caches, and batch streams."""
+    tc = _tc(fixture_root)
+    tcb = tc.replace(data_bundle=True,
+                     data_bundle_root=str(tmp_path / "bundles"))
+
+    fresh = Corpus(tc)
+    bundled = Corpus(tcb)
+
+    assert bundled.vocab.word2idx == fresh.vocab.word2idx
+    assert bundled.vocab.max_sentence_len == fresh.vocab.max_sentence_len
+
+    # ground-truth pairs for the metric suite
+    assert (bundled.test_dataset.video_caption_pairs
+            == fresh.test_dataset.video_caption_pairs)
+
+    # packed features == transform applied at access time (uniform sampling
+    # is deterministic, so equality is exact, not approximate)
+    np.testing.assert_array_equal(
+        np.asarray(bundled.train_dataset.feature_cache()),
+        fresh.train_dataset.feature_cache())
+
+    # materialized batch stream (same shuffle seed → same order)
+    for (v1, vid1, cap1), (v2, vid2, cap2) in zip(fresh.train_batcher,
+                                                  bundled.train_batcher):
+        assert v1 == v2
+        np.testing.assert_array_equal(vid1, np.asarray(vid2))
+        np.testing.assert_array_equal(cap1, cap2)
+
+    # score stream (packed test feats, no transform re-application)
+    for (v1, vid1), (v2, vid2) in zip(fresh.score_batcher,
+                                      bundled.score_batcher):
+        assert v1 == v2
+        np.testing.assert_array_equal(vid1, np.asarray(vid2))
+
+
+def test_bundled_index_mode_matches(fixture_root, tmp_path):
+    """device_feature_cache + bundle: same row indices, same captions."""
+    tc = _tc(fixture_root, device_feature_cache=True)
+    tcb = tc.replace(data_bundle=True,
+                     data_bundle_root=str(tmp_path / "bundles"))
+    fresh, bundled = Corpus(tc), Corpus(tcb)
+    for (v1, r1, c1), (v2, r2, c2) in zip(fresh.train_batcher,
+                                          bundled.train_batcher):
+        assert v1 == v2
+        np.testing.assert_array_equal(r1, r2)
+        np.testing.assert_array_equal(c1, c2)
+
+
+def test_bundle_key_tracks_inputs_and_knobs(fixture_root, tmp_path):
+    tc = _tc(fixture_root, data_bundle=True,
+             data_bundle_root=str(tmp_path / "bundles"))
+    key = B.bundle_key(tc)
+    # preprocessing knobs change the key
+    assert B.bundle_key(tc.replace(min_count=2)) != key
+    assert B.bundle_key(tc.replace(caption_max_len=9)) != key
+    # non-preprocessing knobs do not
+    assert B.bundle_key(tc.replace(batch_size=2, n_iterations=1)) == key
+    # touching an input file invalidates
+    cap = os.path.join(fixture_root, "MSVD", "metadata",
+                       "MSR Video Description Corpus.csv")
+    st = os.stat(cap)
+    os.utime(cap, ns=(st.st_atime_ns, st.st_mtime_ns + 1_000_000))
+    try:
+        assert B.bundle_key(tc) != key
+    finally:
+        os.utime(cap, ns=(st.st_atime_ns, st.st_mtime_ns))
+    assert B.bundle_key(tc) == key
+
+
+def test_bundle_rejects_stochastic_sampling(fixture_root, tmp_path):
+    tc = _tc(fixture_root, data_bundle=True,
+             frame_sampling_method="random",
+             data_bundle_root=str(tmp_path / "bundles"))
+    with pytest.raises(ValueError, match="uniform"):
+        Corpus(tc)
+
+
+def test_bundle_vocab_mismatch_is_loud(fixture_root, tmp_path):
+    from recnet_tpu.data.vocab import Vocab
+    tc = _tc(fixture_root, data_bundle=True,
+             data_bundle_root=str(tmp_path / "bundles"))
+    wrong = Vocab({"<PAD>": 0, "<SOS>": 1, "<EOS>": 2}, 1)
+    wrong.build(["completely different corpus text"], lambda s: s.split())
+    with pytest.raises(ValueError, match="vocab"):
+        Corpus(tc, vocab=wrong)
+
+
+def test_train_loop_with_bundle_matches_without(fixture_root, tmp_path):
+    """Two fresh 2-iteration runs, bundle on vs off — final params must be
+    bit-exact (the bundle changes startup, not a single batch)."""
+    import jax
+
+    from recnet_tpu.training.loop import train
+
+    kw = dict(n_iterations=2, log_every=2, validate_every=2, test_every=2,
+              save_every=2, use_recon=False)
+    tc = _tc(fixture_root, **kw)
+    tcb = tc.replace(data_bundle=True,
+                     data_bundle_root=str(tmp_path / "bundles"))
+    s1 = train(tc, loss_only=True, log_dir=str(tmp_path / "l1"),
+               save_dir=str(tmp_path / "c1"))
+    s2 = train(tcb, loss_only=True, log_dir=str(tmp_path / "l2"),
+               save_dir=str(tmp_path / "c2"))
+    for a, b in zip(jax.tree.leaves(s1.dec_params),
+                    jax.tree.leaves(s2.dec_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

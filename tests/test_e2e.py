@@ -24,6 +24,7 @@ def fixture_root(tmp_path_factory):
     return root
 
 
+@pytest.mark.slow
 def test_full_train_loop_with_eval_and_checkpoint(fixture_root, tmp_path):
     tc = tiny_train_config(
         fixture_root, n_iterations=6, log_every=3, validate_every=6,
@@ -116,6 +117,7 @@ def test_evaluate_greedy_and_beam(fixture_root, tmp_path):
             assert np.isfinite(v)
 
 
+@pytest.mark.slow
 def test_train_loop_with_mesh(fixture_root, tmp_path):
     """use_mesh=True on the virtual 8-device CPU mesh end-to-end."""
     tc = tiny_train_config(
@@ -127,6 +129,7 @@ def test_train_loop_with_mesh(fixture_root, tmp_path):
     assert int(state.step) == 3
 
 
+@pytest.mark.slow
 def test_checkpoint_retention(fixture_root, tmp_path):
     tc = tiny_train_config(fixture_root)
     corpus = Corpus(tc)
@@ -140,6 +143,7 @@ def test_checkpoint_retention(fixture_root, tmp_path):
     assert ckpt.latest_step(d) == 4
 
 
+@pytest.mark.slow
 def test_train_loop_without_reconstructor(fixture_root, tmp_path):
     """README.md:77 config: wo. reconstructor, full loop incl. val + test."""
     tc = tiny_train_config(
@@ -203,6 +207,7 @@ def test_async_save_requires_orbax(fixture_root, tmp_path):
                              corpus.vocab, backend="npz", async_save=True)
 
 
+@pytest.mark.slow
 def test_nan_failure_detection_saves_emergency_checkpoint(fixture_root,
                                                           tmp_path):
     """Non-finite loss aborts training with an emergency checkpoint
@@ -224,6 +229,7 @@ def test_nan_failure_detection_saves_emergency_checkpoint(fixture_root,
     assert meta.get("emergency") is True
 
 
+@pytest.mark.slow
 def test_profile_dir_writes_trace(fixture_root, tmp_path):
     """--profile_dir captures a jax.profiler trace over the configured
     iteration window (tracing aux capability, SURVEY §5)."""
@@ -239,6 +245,7 @@ def test_profile_dir_writes_trace(fixture_root, tmp_path):
                      recursive=True), "no xplane trace written"
 
 
+@pytest.mark.slow
 def test_train_loop_multi_step_dispatch_matches_k1(fixture_root, tmp_path):
     """steps_per_dispatch=2: the scanned-dispatch loop must produce the
     same final parameters as the step-per-dispatch loop (same seed, same
@@ -265,6 +272,7 @@ def test_train_loop_multi_step_dispatch_matches_k1(fixture_root, tmp_path):
     assert ckpt.latest_step(str(tmp_path / "c2")) == 4
 
 
+@pytest.mark.slow
 def test_train_loop_multi_step_on_mesh(fixture_root, tmp_path):
     """steps_per_dispatch=2 with use_mesh: the stacked (k,) leading axis
     shifts the batch-sharded dim right by one — the loop must shard

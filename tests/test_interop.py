@@ -205,6 +205,7 @@ def test_reconstructor_mapping(kind, cell):
 # Optimizer state resume
 # --------------------------------------------------------------------------
 
+@pytest.mark.slow
 @pytest.mark.parametrize("amsgrad", [True, False])
 def test_adam_state_resume_matches_torch(amsgrad):
     """Identical synthetic gradients stepped through torch Adam and through
@@ -361,6 +362,7 @@ def _surrogate_recon_step(rec, opt):
     opt.step()
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("amsgrad", [True, False])
 def test_exported_checkpoint_resumes_in_torch(tmp_path, amsgrad):
     """torch.optim.Adam.load_state_dict on our export + identical grads

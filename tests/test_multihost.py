@@ -25,6 +25,10 @@ import tempfile
 
 import pytest
 
+# the 2-process pods each boot two interpreters + gloo rendezvous —
+# full-gate only (pytest -m "not slow" is the fast smoke tier)
+pytestmark = pytest.mark.slow
+
 HERE = os.path.dirname(os.path.abspath(__file__))
 REPO = os.path.dirname(HERE)
 WORKER = os.path.join(HERE, "multihost_worker.py")
@@ -35,7 +39,9 @@ WORKER = os.path.join(HERE, "multihost_worker.py")
 # the SPMD program concurrently can miss it (the failure lands at the
 # first collective dispatch, AFTER compile) — with the cache, a retry
 # compiles in milliseconds and the ranks rendezvous comfortably.
-_JAX_CACHE = os.path.join(tempfile.gettempdir(), "recnet_multihost_jaxcache")
+_JAX_CACHE = os.path.join(
+    tempfile.gettempdir(),
+    f"recnet_multihost_jaxcache_{os.getuid() if hasattr(os, 'getuid') else 'u'}")
 
 
 def _free_port() -> int:

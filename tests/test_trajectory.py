@@ -20,6 +20,9 @@ from recnet_tpu.training.step import init_train_state, build_train_step
 
 from torch_train_oracle import TorchTrainer
 
+# 150 torch-vs-JAX iterations × 3 configs — full-gate only
+pytestmark = pytest.mark.slow
+
 N_ITERS = 150
 B, T_MAX, V = 4, 8, 25
 N_BATCHES = 7  # cycled, so iterations revisit data like the real loader
