@@ -13,23 +13,31 @@ Protocol (JSON over POST):
                    "beam": 5}              # beam optional; omit = greedy
   -> {"captions": ["a man is ...", ...]}
 
-  GET /healthz    -> {"ok": true, "model": "<run id>"}
+  GET /healthz    -> {"ok": true, "model": "<run id>",
+                      "requests": N, "dispatches": M, "coalesced": K}
 
-Requests are served sequentially (the device is the bottleneck, and the
-Captioner pads to power-of-two buckets so odd sizes reuse compiled
-programs — serving.py).
+Concurrent requests are MICRO-BATCHED by default: handler threads
+(ThreadingHTTPServer) submit to a serving.MicroBatcher, whose dispatch
+thread coalesces everything waiting (same decode key, up to the
+Captioner's batch_size videos, after a short --flush_ms window) into one
+device batch — aggregate captions/s under load approaches the single-batch
+throughput instead of one small-bucket decode per request. --sequential
+restores the old one-request-at-a-time server.
 """
 
 from __future__ import annotations
 
 import argparse
 import json
-from http.server import BaseHTTPRequestHandler, HTTPServer
+from http.server import (BaseHTTPRequestHandler, HTTPServer,
+                         ThreadingHTTPServer)
 
 import numpy as np
 
 
 def make_handler(captioner, model_id: str):
+    """``captioner`` is anything with .caption(feats, beam_width) — the
+    raw Captioner (sequential) or a MicroBatcher front end (concurrent)."""
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):  # quiet by default
             pass
@@ -44,7 +52,13 @@ def make_handler(captioner, model_id: str):
 
         def do_GET(self):
             if self.path == "/healthz":
-                return self._reply(200, {"ok": True, "model": model_id})
+                payload = {"ok": True, "model": model_id}
+                for attr, name in (("n_requests", "requests"),
+                                   ("n_dispatches", "dispatches"),
+                                   ("n_coalesced", "coalesced")):
+                    if hasattr(captioner, attr):
+                        payload[name] = getattr(captioner, attr)
+                return self._reply(200, payload)
             return self._reply(404, {"error": "unknown path"})
 
         def do_POST(self):
@@ -85,6 +99,12 @@ def main(argv=None):
                    default="bfloat16")
     a.add_argument("--mesh", action="store_true",
                    help="data-parallel serving over all visible devices")
+    a.add_argument("--sequential", action="store_true",
+                   help="serve one request at a time (no micro-batching, "
+                        "no handler threads) — the round-3 behavior")
+    a.add_argument("--flush_ms", type=float, default=6.0,
+                   help="micro-batch flush window: how long a dispatch "
+                        "waits for concurrent requests to coalesce")
     a.add_argument("--beam_length_margin", type=int, default=-1,
                    help="OPT-IN approximate beam cutoff: stop this many "
                         "steps after every beam candidate has a first "
@@ -100,9 +120,17 @@ def main(argv=None):
         from recnet_tpu.parallel import make_mesh
         kw["mesh"] = make_mesh()
     cap = Captioner.from_checkpoint(args.ckpt, **kw)
-    server = HTTPServer((args.host, args.port),
-                        make_handler(cap, cap.tc.id))
-    print(f"serving {cap.tc.id} on http://{args.host}:{args.port}")
+    if args.sequential:
+        server = HTTPServer((args.host, args.port),
+                            make_handler(cap, cap.tc.id))
+        mode = "sequential"
+    else:
+        from recnet_tpu.serving import MicroBatcher
+        front = MicroBatcher(cap, flush_ms=args.flush_ms)
+        server = ThreadingHTTPServer((args.host, args.port),
+                                     make_handler(front, cap.tc.id))
+        mode = f"micro-batched (flush {args.flush_ms}ms)"
+    print(f"serving {cap.tc.id} on http://{args.host}:{args.port} [{mode}]")
     server.serve_forever()
 
 

@@ -49,8 +49,15 @@ def decode_batch(decoder_params, dcfg, videos, search_method, max_len: int,
         n = int(res.n_steps)
         return np.asarray(res.tokens)[:n]                     # (n, B)
     elif isinstance(search_method, (tuple, list)) and search_method[0] == "beam":
+        import jax
+
         beam_width = int(search_method[1])
-        res = beam_decode(decoder_params, dcfg, videos, beam_width, max_len)
+        # honor tc.use_pallas on the beam path too (round-3 gap: only
+        # greedy took the kernel here while serving.Captioner wired it) —
+        # the fused projection+top-K kernel is f32 token-exact vs XLA
+        res = beam_decode(decoder_params, dcfg, videos, beam_width, max_len,
+                          use_pallas_topk=(use_pallas and
+                                           jax.default_backend() != "cpu"))
         n = int(res.n_steps)
         # reference transposes the (B, n) beam output to (n, B) (eval.py:148-149)
         return np.asarray(res.tokens)[:, :n].T

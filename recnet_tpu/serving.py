@@ -140,3 +140,107 @@ class Captioner:
             d = self.mesh.shape["data"]
             b = min(-(-b // d) * d, self.batch_size)
         return b
+
+
+class MicroBatcher:
+    """Coalesce concurrent caption requests into shared device batches.
+
+    The whole perf story of this framework is batch throughput, so a
+    service layer that dispatches one device batch per request leaves most
+    of it on the floor under concurrent load. A single dispatch thread
+    drains a request queue: after a short flush window (``flush_ms``, which
+    lets concurrent requests pile in), every queued request with the same
+    decode key (greedy vs a given beam width — different compiled programs)
+    is concatenated — up to ``max_batch`` videos — into ONE
+    ``Captioner.caption`` call, and the results are split back per request.
+
+    ``caption()`` is blocking and thread-safe: each HTTP handler thread
+    submits and waits on a Future. Per-request latency gains at most
+    flush_ms + the shared batch's decode time; aggregate throughput under
+    N concurrent clients approaches the single-batch number instead of
+    N sequential small-bucket decodes. (No reference counterpart — the
+    reference has no serving at all.)
+    """
+
+    def __init__(self, captioner: Captioner, flush_ms: float = 6.0,
+                 max_batch: Optional[int] = None):
+        import threading
+
+        self.captioner = captioner
+        self.flush_s = max(0.0, flush_ms) / 1000.0
+        self.max_batch = max_batch or captioner.batch_size
+        self._cond = threading.Condition()
+        self._queue: List = []          # [(key, features, future), ...]
+        self._closed = False
+        # observability: how much coalescing actually happens
+        self.n_requests = 0
+        self.n_dispatches = 0
+        self.n_coalesced = 0            # dispatches that merged >1 request
+        self._thread = threading.Thread(target=self._loop, daemon=True,
+                                        name="recnet-microbatcher")
+        self._thread.start()
+
+    def caption(self, features: Sequence[np.ndarray],
+                beam_width: Optional[int] = None) -> List[str]:
+        """Same contract as Captioner.caption, but safe to call from many
+        threads — requests are coalesced into shared device batches."""
+        from concurrent.futures import Future
+
+        fut: Future = Future()
+        with self._cond:
+            if self._closed:
+                raise RuntimeError("MicroBatcher is closed")
+            self._queue.append((beam_width, list(features), fut))
+            self.n_requests += 1
+            self._cond.notify()
+        return fut.result()
+
+    def close(self):
+        with self._cond:
+            self._closed = True
+            self._cond.notify()
+        self._thread.join(timeout=10)
+
+    # ---- dispatch thread ----
+
+    def _loop(self):
+        import time as _time
+
+        while True:
+            with self._cond:
+                while not self._queue and not self._closed:
+                    self._cond.wait()
+                if self._closed and not self._queue:
+                    return
+            if self.flush_s:
+                _time.sleep(self.flush_s)   # let concurrent requests arrive
+            with self._cond:
+                key = self._queue[0][0]
+                group, keep, total = [], [], 0
+                for item in self._queue:
+                    k, feats, fut = item
+                    fits = total + len(feats) <= self.max_batch
+                    # an oversized lone request still dispatches (caption()
+                    # chunks internally); everything else respects the cap
+                    if k == key and (fits or not group):
+                        group.append((feats, fut))
+                        total += len(feats)
+                    else:
+                        keep.append(item)
+                self._queue = keep
+            feats_all = [f for feats, _ in group for f in feats]
+            try:
+                res = self.captioner.caption(feats_all, beam_width=key)
+            except BaseException as e:  # noqa: BLE001 — deliver to waiters
+                for _, fut in group:
+                    if not fut.done():
+                        fut.set_exception(e)
+            else:
+                i = 0
+                for feats, fut in group:
+                    if not fut.done():
+                        fut.set_result(res[i:i + len(feats)])
+                    i += len(feats)
+            self.n_dispatches += 1
+            if len(group) > 1:
+                self.n_coalesced += 1

@@ -297,3 +297,30 @@ def test_beam_length_cutoff_engages_on_eos_repeater():
     s_cut = tokens_to_sentences(
         np.asarray(cut.tokens)[:, : int(cut.n_steps)].T, idx2word, EOS)
     assert s_full == s_cut
+
+
+def test_evaluation_beam_path_forwards_use_pallas(monkeypatch):
+    """tc.use_pallas must reach beam_decode's use_pallas_topk from the
+    eval path (round-3 gap: evaluation.decode_batch silently took the XLA
+    projection even when the config asked for Pallas; serving wired it)."""
+    from recnet_tpu import evaluation as ev
+
+    captured = {}
+
+    def fake_beam_decode(params, dcfg, videos, K, max_len, **kw):
+        captured.update(kw)
+        import types
+        return types.SimpleNamespace(
+            tokens=jnp.zeros((videos.shape[0], max_len + 1), jnp.int32),
+            n_steps=jnp.asarray(max_len + 1, jnp.int32),
+            scores=jnp.zeros((videos.shape[0], K)))
+
+    monkeypatch.setattr(ev, "beam_decode", fake_beam_decode)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    videos = np.zeros((2, 3, 4), np.float32)
+    ev.decode_batch({}, _cfg("GRU"), videos, ("beam", 5), max_len=4,
+                    use_pallas=True)
+    assert captured.get("use_pallas_topk") is True
+    ev.decode_batch({}, _cfg("GRU"), videos, ("beam", 5), max_len=4,
+                    use_pallas=False)
+    assert captured.get("use_pallas_topk") is False

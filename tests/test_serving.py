@@ -195,3 +195,176 @@ def test_http_serve_endpoint(captioner, tmp_path):
         assert out2["captions"] == out["captions"]
     finally:
         server.shutdown()
+
+
+# ---------------------------------------------------------------------------
+# MicroBatcher: coalescing concurrent requests into shared device batches
+# ---------------------------------------------------------------------------
+
+
+class _FakeCaptioner:
+    """Records every dispatch; 'captions' each video by its float id."""
+
+    def __init__(self, batch_size=16, fail_on=None):
+        self.batch_size = batch_size
+        self.calls = []              # [(n_videos, beam_width)]
+        self.fail_on = fail_on
+
+    def caption(self, features, beam_width=None):
+        self.calls.append((len(features), beam_width))
+        if self.fail_on is not None and len(self.calls) == self.fail_on:
+            raise RuntimeError("device fell over")
+        return [f"cap{int(f[0, 0])}-b{beam_width}" for f in features]
+
+
+def _feat(i):
+    return np.full((2, 3), float(i), np.float32)
+
+
+def test_microbatcher_coalesces_concurrent_requests():
+    import threading
+
+    from recnet_tpu.serving import MicroBatcher
+
+    fake = _FakeCaptioner()
+    mb = MicroBatcher(fake, flush_ms=80.0)   # generous window: all 6 pile in
+    results = {}
+
+    def client(i):
+        results[i] = mb.caption([_feat(i)])
+
+    threads = [threading.Thread(target=client, args=(i,)) for i in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=30)
+    mb.close()
+    assert results == {i: [f"cap{i}-bNone"] for i in range(6)}
+    # 6 one-video requests must NOT have become 6 one-video dispatches
+    assert fake.calls and max(n for n, _ in fake.calls) > 1
+    assert mb.n_requests == 6
+    assert mb.n_coalesced >= 1
+    assert mb.n_dispatches < 6
+
+
+def test_microbatcher_groups_by_beam_key():
+    import threading
+
+    from recnet_tpu.serving import MicroBatcher
+
+    fake = _FakeCaptioner()
+    mb = MicroBatcher(fake, flush_ms=80.0)
+    results = {}
+
+    def client(i, beam):
+        results[(i, beam)] = mb.caption([_feat(i)], beam_width=beam)
+
+    threads = [threading.Thread(target=client, args=(i, b))
+               for i, b in ((0, None), (1, 3), (2, None), (3, 3))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=30)
+    mb.close()
+    # greedy and beam-3 decode through different compiled programs — the
+    # batcher must never hand one mixed batch to the captioner
+    assert all(b in (None, 3) for _, b in fake.calls)
+    assert results[(0, None)] == ["cap0-bNone"]
+    assert results[(1, 3)] == ["cap1-b3"]
+    assert results[(3, 3)] == ["cap3-b3"]
+
+
+def test_microbatcher_respects_batch_cap_and_oversized_requests():
+    from recnet_tpu.serving import MicroBatcher
+
+    fake = _FakeCaptioner(batch_size=4)
+    mb = MicroBatcher(fake, flush_ms=0.0, max_batch=4)
+    # oversized lone request still dispatches (Captioner chunks internally)
+    out = mb.caption([_feat(i) for i in range(9)])
+    mb.close()
+    assert len(out) == 9
+    assert fake.calls == [(9, None)]
+
+
+def test_microbatcher_propagates_errors_to_all_waiters():
+    import threading
+
+    from recnet_tpu.serving import MicroBatcher
+
+    fake = _FakeCaptioner(fail_on=1)
+    mb = MicroBatcher(fake, flush_ms=60.0)
+    errors = {}
+
+    def client(i):
+        try:
+            mb.caption([_feat(i)])
+        except RuntimeError as e:
+            errors[i] = str(e)
+
+    threads = [threading.Thread(target=client, args=(i,)) for i in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=30)
+    # whichever requests shared the failing dispatch all saw the error;
+    # later dispatches succeed (server stays usable)
+    assert errors and all(v == "device fell over" for v in errors.values())
+    ok = mb.caption([_feat(7)])
+    assert ok == ["cap7-bNone"]
+    mb.close()
+
+
+def test_http_concurrent_load_is_microbatched(captioner):
+    """The VERDICT-r3 load test: N concurrent HTTP clients against the
+    threaded server + MicroBatcher must coalesce into shared device
+    batches (healthz exposes the counters) and return correct, per-client
+    results."""
+    import json
+    import threading
+    import urllib.request
+    from http.server import ThreadingHTTPServer
+
+    from recnet_tpu.cli.serve import make_handler
+    from recnet_tpu.serving import MicroBatcher
+
+    front = MicroBatcher(captioner, flush_ms=100.0)
+    server = ThreadingHTTPServer(("127.0.0.1", 0),
+                                 make_handler(front, captioner.tc.id))
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{port}"
+
+    rng = np.random.default_rng(6)
+    payloads = {i: [rng.standard_normal((8, 32)).tolist()] for i in range(8)}
+    out = {}
+
+    def client(i):
+        req = urllib.request.Request(
+            base + "/caption",
+            data=json.dumps({"features": payloads[i]}).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=120) as r:
+            out[i] = json.loads(r.read())["captions"]
+
+    try:
+        threads = [threading.Thread(target=client, args=(i,))
+                   for i in payloads]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        assert set(out) == set(payloads)
+        # per-client correctness: each answer matches a direct decode
+        for i, caps in out.items():
+            direct = captioner.caption(
+                [np.asarray(f, np.float32) for f in payloads[i]])
+            assert caps == direct
+        with urllib.request.urlopen(base + "/healthz", timeout=30) as r:
+            health = json.loads(r.read())
+        assert health["requests"] == 8
+        assert health["dispatches"] < 8, \
+            f"no coalescing happened: {health}"
+        assert health["coalesced"] >= 1
+    finally:
+        server.shutdown()
+        front.close()
