@@ -46,8 +46,8 @@ def test_eight_devices_available():
 
 @pytest.mark.parametrize("mesh_shape", [
     (("data", 8),),
-    (("data", 4), ("model", 2)),
-    (("data", 2), ("model", 4)),
+    pytest.param((("data", 4), ("model", 2)), marks=pytest.mark.slow),
+    pytest.param((("data", 2), ("model", 4)), marks=pytest.mark.slow),
 ])
 def test_sharded_step_matches_single_device(mesh_shape, rng):
     tc = _tiny_tc(mesh_shape=mesh_shape)
@@ -109,6 +109,7 @@ def test_dp_batch_actually_distributed(rng):
     assert shard_shapes == {(1, tc.encoder_output_len, tc.encoder_output_size)}
 
 
+@pytest.mark.slow
 def test_cached_loop_on_mesh_matches_single_device(tmp_path):
     """The device-feature-cache training path (replicated cache + batch-
     sharded row indices) over a dp x tp mesh equals the unsharded cached

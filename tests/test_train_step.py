@@ -147,7 +147,8 @@ def test_invalid_train_precision_rejected():
         build_train_step(tc, dcfg, rcfg)
 
 
-@pytest.mark.parametrize("recon", [None, "global"])
+@pytest.mark.parametrize("recon", [
+    None, pytest.param("global", marks=pytest.mark.slow)])
 def test_multi_step_matches_sequential(recon, rng):
     """build_train_multi_step(k): one scanned dispatch over k stacked
     batches must reproduce k sequential build_train_step calls with the
@@ -197,7 +198,7 @@ def test_multi_step_loop_cadence_validation(tmp_path):
         train(tc)
 
 
-@pytest.mark.parametrize("k", [1, 3])
+@pytest.mark.parametrize("k", [1, pytest.param(3, marks=pytest.mark.slow)])
 def test_cached_step_matches_uncached(k, rng=None):
     """build_train_step_cached (device feature cache) is bit-identical to
     the uncached step when the gathered rows equal the uploaded batch."""
@@ -251,6 +252,7 @@ def test_cached_step_matches_uncached(k, rng=None):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_cached_loop_matches_uncached_loop(tmp_path):
     """The full training loop with device_feature_cache=True reproduces the
     uncached loop bit-for-bit (same fixture, same seeds)."""
