@@ -412,3 +412,102 @@ def test_meteor15_corpus_aggregates_stats():
 def test_meteor_version_validation():
     with pytest.raises(ValueError):
         Meteor(version="9000")
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer cross-validation vs an independent PTB implementation (NLTK)
+# ---------------------------------------------------------------------------
+
+
+def _nltk_treebank():
+    try:
+        from nltk.tokenize import TreebankWordTokenizer
+    except Exception:  # pragma: no cover - nltk is in the image, but be safe
+        pytest.skip("nltk unavailable")
+    return TreebankWordTokenizer()
+
+
+def _normalize_brackets(tokens):
+    """Deliberate rule-set difference: we emit Stanford's -LRB-/-RSB-…
+    placeholders (the jar's default, which the COCO strip list depends on);
+    NLTK keeps literal brackets. Map ours back for comparison."""
+    from recnet_tpu.metrics.tokenizer import _BRACKETS
+    inv = {v: k for k, v in _BRACKETS.items()}
+    return [inv.get(t, t) for t in tokens]
+
+
+def test_ptb_tokenizer_agrees_with_nltk_structured_corpus():
+    """Measured agreement with NLTK's TreebankWordTokenizer (an independent
+    port of the same classic tokenizer.sed rules) on ~420 structured
+    sentences spanning contractions, possessives, numeric commas/colons,
+    money/percent, quotes, brackets, ellipsis and dashes: 100%."""
+    import itertools
+
+    from recnet_tpu.metrics.tokenizer import ptb_tokenize_line
+
+    nltk_tok = _nltk_treebank()
+    subjects = ["A man", "The small dog", "Two people", "She", "Mr. Smith",
+                "Everyone"]
+    verbs = ["is playing", "can't find", "doesn't like", "won't touch",
+             "quickly eats", "has taken"]
+    objects = ["the guitar", "a 1,000-piece puzzle", "his friend's car",
+               "it", "the ball", "50% of the cake"]
+    tails = ["on stage.", "at 5:30 p.m.", "in the park!",
+             "near the river...", 'and says "hello, world".',
+             "(very carefully).", "-- twice;", "because they're tired.",
+             "while gonna leave.", "but cannot stop?", "with John's dog,",
+             "[sic] indeed.", ""]
+    sents = [" ".join(p)
+             for p in itertools.product(subjects, verbs, objects, tails[:6])]
+    sents += [f"{s} {v} {o} {t}"
+              for s, v, o, t in zip(itertools.cycle(subjects),
+                                    itertools.cycle(verbs),
+                                    itertools.cycle(objects), tails * 6)]
+    sents = sents[:420]
+    disagreements = [
+        s for s in sents
+        if _normalize_brackets(ptb_tokenize_line(s, lowercase=False))
+        != nltk_tok.tokenize(s)]
+    assert not disagreements, disagreements[:5]
+
+
+def test_ptb_tokenizer_agrees_with_nltk_fuzz():
+    """3000 seeded random compositions of tricky fragments (uppercase
+    contractions, abbreviations, money, placeholders, stray punctuation):
+    zero disagreements measured — pinned so a rule regression in either
+    direction surfaces."""
+    import random
+
+    from recnet_tpu.metrics.tokenizer import ptb_tokenize_line
+
+    nltk_tok = _nltk_treebank()
+    rng = random.Random(7)
+    frags = ["a man", "it's", "don't", "I'LL", "WE'VE", "CAN'T", "gonna",
+             "WANNA", "Cannot", "1,000", "3.14", "5:30", "$5", "50%",
+             "#tag", "@user", "U.S.", "e.g.", "...", "--", "-", ";", ":",
+             ",", "!", "?", ".", '"quoted"', "'single'", "(paren)",
+             "[brack]", "{brace}", "<angle>", "John's", "dogs'", "y'all",
+             "o.k.", "word.", ".start", "end.", "a.b.c", "d'Artagnan",
+             "rock'n'roll", "isn't", "AIN'T"]
+    bad = []
+    for _ in range(3000):
+        s = " ".join(rng.choice(frags)
+                     for _ in range(rng.randint(1, 12)))
+        if (_normalize_brackets(ptb_tokenize_line(s, lowercase=False))
+                != nltk_tok.tokenize(s)):
+            bad.append(s)
+    assert not bad, f"{len(bad)} disagreements, e.g. {bad[:3]}"
+
+
+def test_ptb_tokenizer_known_divergences_from_nltk():
+    """The two DELIBERATE differences from NLTK (both Stanford-jar
+    behaviors the COCO pipeline depends on), pinned as divergences:
+    bracket placeholders and the lowercase option."""
+    from recnet_tpu.metrics.tokenizer import ptb_tokenize_line
+
+    nltk_tok = _nltk_treebank()
+    s = "boxed (text) here"
+    assert ptb_tokenize_line(s, lowercase=False) == \
+        ["boxed", "-LRB-", "text", "-RRB-", "here"]
+    assert nltk_tok.tokenize(s) == ["boxed", "(", "text", ")", "here"]
+    assert ptb_tokenize_line("Hello World") == ["hello", "world"]
