@@ -67,36 +67,25 @@ def _log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
-def _measure_single(batch: int, path: str, block_b: int) -> None:
-    """Child-process mode: measure one (path, batch) and print one JSON.
+def _setup_decode(batch: int, path: str, block_b: int):
+    """Build the exact jitted decode fn + on-device batch for one attempt.
 
-    Logs per-phase wall times to stderr (import, trace+lower, compile,
-    execute, fetch) so a timeout in the parent is attributable to a phase
-    rather than a mystery (VERDICT r2 item 2: the B=16384 attempt timed
-    out at 720 s *with* a warm cache and nothing recorded where the time
-    went).
+    Shared with benchmarks/warm_cache.py so the session-start cache warmer
+    compiles the SAME HLOs this benchmark measures — an AOT
+    ``jax.jit(fn).lower().compile()`` wrapper was tried and produced a
+    DIFFERENT outer HLO that cache-missed and recompiled for minutes
+    (NOTES.md); the warmer must go through these normal jit entry points.
     """
-    t_start = time.perf_counter()
-    import numpy as np
     import jax
     import jax.numpy as jnp
 
     from recnet_tpu.config import TrainConfig
     from recnet_tpu.decoding import greedy_decode, greedy_decode_whole
     from recnet_tpu.models import decoder as dec_mod
-    _log(f"[child {path}/B={batch}] imports: "
-         f"{time.perf_counter() - t_start:.1f}s")
-
-    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR", "")
-    n_cached = (len(os.listdir(cache_dir))
-                if cache_dir and os.path.isdir(cache_dir) else 0)
-    _log(f"[child {path}/B={batch}] compilation cache: "
-         f"{cache_dir or '(unset)'} ({n_cached} entries)")
 
     tc = TrainConfig()
     vocab_size = 4188
     dcfg = dec_mod.config_from_train(tc, vocab_size)
-    t0 = time.perf_counter()
     params = dec_mod.init_decoder_params(jax.random.PRNGKey(0), dcfg)
     params = jax.tree_util.tree_map(
         lambda x: x.astype(jnp.bfloat16), params)
@@ -109,8 +98,6 @@ def _measure_single(batch: int, path: str, block_b: int) -> None:
             key, (batch, tc.encoder_output_len, tc.encoder_output_size),
             jnp.bfloat16))(jax.random.PRNGKey(1))
     videos.block_until_ready()
-    _log(f"[child {path}/B={batch}] params+batch on device: "
-         f"{time.perf_counter() - t0:.1f}s")
 
     if path == "pallas_whole":
         fn = lambda v: greedy_decode_whole(
@@ -118,6 +105,34 @@ def _measure_single(batch: int, path: str, block_b: int) -> None:
     else:
         fn = lambda v: greedy_decode(
             params, dcfg, v, tc.caption_max_len, unroll=4)
+    return fn, videos
+
+
+def _measure_single(batch: int, path: str, block_b: int) -> None:
+    """Child-process mode: measure one (path, batch) and print one JSON.
+
+    Logs per-phase wall times to stderr (import, trace+lower, compile,
+    execute, fetch) so a timeout in the parent is attributable to a phase
+    rather than a mystery (VERDICT r2 item 2: the B=16384 attempt timed
+    out at 720 s *with* a warm cache and nothing recorded where the time
+    went).
+    """
+    t_start = time.perf_counter()
+    import numpy as np
+    import jax
+    _log(f"[child {path}/B={batch}] imports: "
+         f"{time.perf_counter() - t_start:.1f}s")
+
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR", "")
+    n_cached = (len(os.listdir(cache_dir))
+                if cache_dir and os.path.isdir(cache_dir) else 0)
+    _log(f"[child {path}/B={batch}] compilation cache: "
+         f"{cache_dir or '(unset)'} ({n_cached} entries)")
+
+    t0 = time.perf_counter()
+    fn, videos = _setup_decode(batch, path, block_b)
+    _log(f"[child {path}/B={batch}] params+batch on device: "
+         f"{time.perf_counter() - t0:.1f}s")
 
     # First call runs through the NORMAL jit path — greedy_decode /
     # greedy_decode_whole are already @jax.jit, so this is the exact
