@@ -31,10 +31,9 @@ import os
 import sys
 import time
 
-os.environ.setdefault(
-    "JAX_COMPILATION_CACHE_DIR",
-    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                 ".jax_cache"))
+# NOTE: an env-var here would be read too late (sitecustomize imports
+# jax at interpreter start) — activate the persistent compile cache
+# through jax.config instead (utils/compile_cache.py explains).
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
@@ -249,6 +248,8 @@ def main(argv=None):
 
     from recnet_tpu.config import TrainConfig
     from recnet_tpu.training.loop import train
+    from recnet_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache()
 
     # the reference recipe (README.md:84-88): every knob at its default —
     # batch 100, lr 1e-5/1e-6, wd 1e-5, clip 50, uniform sampling, global

@@ -38,10 +38,9 @@ import tempfile
 import time
 
 os.environ.setdefault("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION", "python")
-os.environ.setdefault(
-    "JAX_COMPILATION_CACHE_DIR",
-    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                 ".jax_cache"))
+# NOTE: an env-var here would be read too late (sitecustomize imports
+# jax at interpreter start) — activate the persistent compile cache
+# through jax.config instead (utils/compile_cache.py explains).
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 sys.path.insert(0, os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests"))
@@ -59,6 +58,9 @@ def main():
 
     import jax
     import jax.numpy as jnp
+
+    from recnet_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache()
 
     from benchmarks.profile_step import parse_xplane_device_ops
     from fixtures import make_msvd_fixture, tiny_train_config

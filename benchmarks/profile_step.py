@@ -22,10 +22,9 @@ import time
 from collections import defaultdict
 
 os.environ.setdefault("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION", "python")
-os.environ.setdefault(
-    "JAX_COMPILATION_CACHE_DIR",
-    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                 ".jax_cache"))
+# NOTE: an env-var here would be read too late (sitecustomize imports
+# jax at interpreter start) — activate the persistent compile cache
+# through jax.config instead (utils/compile_cache.py explains).
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -81,6 +80,9 @@ def main():
 
     import jax
     import jax.numpy as jnp
+
+    from recnet_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache()
 
     from recnet_tpu.config import TrainConfig
     from recnet_tpu.training.step import init_train_state, build_train_step

@@ -31,12 +31,16 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                      os.path.join(REPO, ".jax_cache"))
+# NOTE: an env-var here would be read too late (sitecustomize imports
+# jax at interpreter start) — activate the persistent compile cache
+# through jax.config instead (utils/compile_cache.py explains).
 
 import numpy as np
 import jax
 import jax.numpy as jnp
+
+from recnet_tpu.utils.compile_cache import enable_compile_cache
+enable_compile_cache()
 
 from recnet_tpu.config import TrainConfig
 from recnet_tpu.models import decoder as dec_mod

@@ -13,10 +13,9 @@ import argparse
 import json
 import os
 
-os.environ.setdefault(
-    "JAX_COMPILATION_CACHE_DIR",
-    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                 ".jax_cache"))
+# NOTE: an env-var here would be read too late (sitecustomize imports
+# jax at interpreter start) — activate the persistent compile cache
+# through jax.config instead (utils/compile_cache.py explains).
 import sys
 import time
 
@@ -135,6 +134,9 @@ def main():
     args = a.parse_args()
 
     import jax
+
+    from recnet_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache()
     results = {"device": str(jax.devices()[0]), "time": time.time()}
     bench_decode(results, args.quick)
     bench_train(results, args.quick)

@@ -18,6 +18,12 @@ from recnet_tpu.training.step import init_train_state
 
 
 def main(argv=None):
+    # honor JAX_COMPILATION_CACHE_DIR even though sitecustomize froze
+    # jax config before this process's env lines could run
+    import os as _os
+    if _os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+        from recnet_tpu.utils.compile_cache import enable_compile_cache
+        enable_compile_cache()
     a = argparse.ArgumentParser()
     a.add_argument("--ckpt", type=str, required=True,
                    help="checkpoint step directory")

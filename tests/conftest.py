@@ -9,6 +9,7 @@ enough — we must override jax.config before any backend initializes.
 """
 
 import os
+import tempfile
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
@@ -20,6 +21,20 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent compile cache for the whole suite (same de-flake/speed trick
+# test_multihost.py applies to its worker pods): the heavy integration
+# tests are compile-bound on this 1-core host — a warm second run loads
+# those XLA programs from disk instead of re-optimizing them. Correctness
+# is unaffected (the cache keys on the full HLO + flags); per-uid path so
+# multi-user hosts don't collide. NOTE: must go through jax.config.update
+# — the image's sitecustomize imports jax at interpreter start, so the
+# JAX_COMPILATION_CACHE_DIR env var is read before conftest runs.
+_TESTS_JAX_CACHE = os.path.join(
+    tempfile.gettempdir(),
+    f"recnet_tests_jaxcache_{os.getuid() if hasattr(os, 'getuid') else 'u'}")
+jax.config.update("jax_compilation_cache_dir", _TESTS_JAX_CACHE)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import pytest  # noqa: E402
 
