@@ -17,11 +17,11 @@ import numpy as np
 
 
 def _ngram_counts(s: str, n: int = 4) -> Dict[tuple, int]:
-    words = s.split()
+    words = tuple(s.split())          # tuple-slice below yields the key directly
     counts: Dict[tuple, int] = defaultdict(int)
     for k in range(1, n + 1):
         for i in range(len(words) - k + 1):
-            counts[tuple(words[i:i + k])] += 1
+            counts[words[i:i + k]] += 1
     return counts
 
 
@@ -40,43 +40,64 @@ class Cider:
         # document frequency over ref sets (cider_scorer.py:93-104)
         document_frequency: Dict[tuple, float] = defaultdict(float)
         for refs in crefs:
-            for ngram in set(ng for ref in refs for ng in ref):
+            for ngram in set().union(*refs):
                 document_frequency[ngram] += 1
 
-        ref_len = np.log(float(len(crefs)))      # cider_scorer.py:162
+        ref_len = float(np.log(float(len(crefs))))   # cider_scorer.py:162
+
+        # log-df per DISTINCT ngram, hoisted (profiled: recomputing
+        # np.log(df) per occurrence was ~half the MSR-VTT-scale scoring
+        # cost). np.log kept — not math.log — for bit-parity with the
+        # vendored scorer's ufunc; float() casts only strip the np-scalar
+        # dispatch overhead, the IEEE value is unchanged. Unseen test
+        # ngrams: max(1, 0) → log 0.0.
+        df_log = {ng: float(np.log(max(1.0, df)))
+                  for ng, df in document_frequency.items()}
 
         def counts2vec(cnts):
-            vec = [defaultdict(float) for _ in range(self.n)]
+            vec = [{} for _ in range(self.n)]
             norm = [0.0] * self.n
             length = 0
+            get_df = df_log.get
             for ngram, tf in cnts.items():
-                df = np.log(max(1.0, document_frequency[ngram]))
                 k = len(ngram) - 1
-                vec[k][ngram] = float(tf) * (ref_len - df)
-                norm[k] += vec[k][ngram] ** 2
+                v = float(tf) * (ref_len - get_df(ngram, 0.0))
+                vec[k][ngram] = v
+                norm[k] += v * v
                 if k == 1:                        # quirk: bigram count as length
                     length += tf
             return vec, [math.sqrt(x) for x in norm], length
 
         def sim(vh, vr, nh, nr, lh, lr):
             delta = float(lh - lr)
-            val = np.zeros(self.n)
+            # identical per-k factor hoisted (same expression, same bits)
+            penalty = math.e ** (-(delta ** 2) / (2 * self.sigma ** 2))
+            val = [0.0] * self.n
             for k in range(self.n):
-                for ngram in vh[k]:
-                    # clipped tf-idf product (cider_scorer.py:151)
-                    val[k] += min(vh[k][ngram], vr[k][ngram]) * vr[k][ngram]
+                s = 0.0
+                vrk_get = vr[k].get
+                for ngram, vhv in vh[k].items():
+                    # clipped tf-idf product (cider_scorer.py:151); missing
+                    # ref ngrams contribute exactly 0 (tf-idf values are
+                    # >= 0 since df <= #images), so skipping them is exact
+                    vrv = vrk_get(ngram)
+                    if vrv is not None:
+                        s += min(vhv, vrv) * vrv
                 if nh[k] != 0 and nr[k] != 0:
-                    val[k] /= nh[k] * nr[k]
-                val[k] *= math.e ** (-(delta ** 2) / (2 * self.sigma ** 2))
+                    s /= nh[k] * nr[k]
+                val[k] = s * penalty
             return val
 
         scores = []
+        n_range = range(self.n)
         for test, refs in zip(ctest, crefs):
             vec, norm, length = counts2vec(test)
-            score = np.zeros(self.n)
+            score = [0.0] * self.n
             for ref in refs:
                 vr, nr, lr = counts2vec(ref)
-                score += sim(vec, vr, norm, nr, length, lr)
+                v = sim(vec, vr, norm, nr, length, lr)
+                for k in n_range:
+                    score[k] += v[k]
             scores.append(float(np.mean(score) / len(refs) * 10.0))
         return float(np.mean(scores)), np.asarray(scores)
 
