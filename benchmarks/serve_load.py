@@ -137,6 +137,8 @@ def main(argv=None):
     big = payload(args.batch_size)
     t0 = time.time()
     cap.caption(big, beam_width=beam)          # shape already warm
+    print(f"[upper bound] first big-batch call: {time.time() - t0:.2f}s",
+          flush=True)
     t0 = time.time()
     cap.caption(big, beam_width=beam)
     single_s = time.time() - t0

@@ -114,7 +114,13 @@ def _targets(profiles: bool):
         out.append({"kind": "decode", "batch": att["batch"],
                     "path": att["path"], "block_b": att.get("block_b", 0)})
     # the flagship train-step program (reference recipe: B=100, global
-    # recon) — what benchmarks/profile_step.py and full_recipe_run compile
+    # recon) — what benchmarks/profile_step.py compiles. NOTE: this is the
+    # UNCACHED step; full_recipe_run's default path compiles
+    # build_train_step_cached, whose HLO depends on the corpus's feature-
+    # cache row count and vocab size, so it cannot be pre-warmed here —
+    # instead the recipe activates the persistent compile cache itself
+    # (enable_compile_cache), making its own second run warm (measured
+    # 653.7s cold -> 30.5s, benchmarks/bundle_demo_warm.json).
     out.append({"kind": "train", "batch": 100, "recon": "global"})
     if profiles:
         # the 7 ablation-variant kernels profile_whole_decode compiles;

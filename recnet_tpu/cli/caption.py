@@ -17,10 +17,8 @@ from recnet_tpu.serving import Captioner
 def main(argv=None):
     # honor JAX_COMPILATION_CACHE_DIR even though sitecustomize froze
     # jax config before this process's env lines could run
-    import os as _os
-    if _os.environ.get("JAX_COMPILATION_CACHE_DIR"):
-        from recnet_tpu.utils.compile_cache import enable_compile_cache
-        enable_compile_cache()
+    from recnet_tpu.utils.compile_cache import enable_compile_cache_if_configured
+    enable_compile_cache_if_configured()
     a = argparse.ArgumentParser()
     a.add_argument("--ckpt", type=str, required=True)
     a.add_argument("--features", type=str, required=True,

@@ -20,10 +20,8 @@ from recnet_tpu.training.step import init_train_state
 def main(argv=None):
     # honor JAX_COMPILATION_CACHE_DIR even though sitecustomize froze
     # jax config before this process's env lines could run
-    import os as _os
-    if _os.environ.get("JAX_COMPILATION_CACHE_DIR"):
-        from recnet_tpu.utils.compile_cache import enable_compile_cache
-        enable_compile_cache()
+    from recnet_tpu.utils.compile_cache import enable_compile_cache_if_configured
+    enable_compile_cache_if_configured()
     a = argparse.ArgumentParser()
     a.add_argument("--ckpt", type=str, required=True,
                    help="checkpoint step directory")
@@ -36,11 +34,16 @@ def main(argv=None):
     tc, vocab = ckpt.load_config_and_vocab(args.ckpt)
     if args.data_root:
         tc = tc.replace(data_root=args.data_root)
-    # only the score loader + test GTs are needed (reference eval.py:178-181)
+    # only the score loader + test GTs are needed (reference eval.py:178-181).
+    # data_bundle is turned off too: a checkpoint trained with --data_bundle
+    # would otherwise make this eval-only corpus stat/pack ALL three splits
+    # (the bundle key covers every input file), which breaks on hosts that
+    # only carry the test split.
     tc = tc.replace(build_train_data_loader=False,
                     build_val_data_loader=False,
                     build_test_data_loader=True,
-                    build_score_data_loader=True)
+                    build_score_data_loader=True,
+                    data_bundle=False)
 
     state, dcfg, rcfg = init_train_state(
         jax.random.PRNGKey(0), tc, vocab.n_vocabs)

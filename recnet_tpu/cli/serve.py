@@ -90,10 +90,8 @@ def make_handler(captioner, model_id: str):
 def main(argv=None):
     # honor JAX_COMPILATION_CACHE_DIR even though sitecustomize froze
     # jax config before this process's env lines could run
-    import os as _os
-    if _os.environ.get("JAX_COMPILATION_CACHE_DIR"):
-        from recnet_tpu.utils.compile_cache import enable_compile_cache
-        enable_compile_cache()
+    from recnet_tpu.utils.compile_cache import enable_compile_cache_if_configured
+    enable_compile_cache_if_configured()
     from recnet_tpu.serving import Captioner
 
     a = argparse.ArgumentParser()

@@ -257,7 +257,16 @@ def build_bundle(tc, path: Optional[str] = None,
         if os.path.isdir(path):          # another process finished first
             shutil.rmtree(tmp)
         else:
-            os.replace(tmp, path)
+            try:
+                os.replace(tmp, path)
+            except OSError:
+                # TOCTOU window: a concurrent builder renamed its tmp dir
+                # in between the isdir check and our replace — theirs is a
+                # complete bundle for the same key, so losing the race is
+                # success, not an error
+                if not os.path.isdir(path):
+                    raise
+                shutil.rmtree(tmp, ignore_errors=True)
     finally:
         if os.path.isdir(tmp):
             shutil.rmtree(tmp, ignore_errors=True)
@@ -294,11 +303,37 @@ def load_bundle(path: str) -> Bundle:
     return Bundle(path, vocab, datasets)
 
 
-def load_or_build(tc, log=lambda m: print(m, file=sys.stderr)) -> Bundle:
+def _process_index() -> int:
+    try:
+        import jax
+        return jax.process_index()
+    except Exception:  # distributed not initialized / no backend yet
+        return 0
+
+
+def load_or_build(tc, log=lambda m: print(m, file=sys.stderr),
+                  build_wait_s: float = 3600.0) -> Bundle:
     path = bundle_dir(tc)
     if not os.path.isdir(path):
-        log(f"[bundle] no bundle at {path}; building (one-time cost)")
-        build_bundle(tc, path, log=log)
+        if _process_index() != 0:
+            # multi-host pod sharing data_root: only the primary packs the
+            # (multi-minute) bundle; other ranks poll for the atomic rename
+            # instead of duplicating the whole build
+            log(f"[bundle] waiting for primary to build {path}")
+            deadline = time.time() + build_wait_s
+            while not os.path.isdir(path):
+                if time.time() > deadline:
+                    # primary never produced it (crashed, or data_root is
+                    # NOT shared storage) — build locally; build_bundle is
+                    # atomic and concurrency-safe either way
+                    log(f"[bundle] primary did not produce {path} within "
+                        f"{build_wait_s:.0f}s; building locally")
+                    build_bundle(tc, path, log=log)
+                    break
+                time.sleep(2.0)
+        else:
+            log(f"[bundle] no bundle at {path}; building (one-time cost)")
+            build_bundle(tc, path, log=log)
     t0 = time.time()
     b = load_bundle(path)
     log(f"[bundle] loaded {path} in {time.time() - t0:.2f}s (features "

@@ -58,14 +58,25 @@ class Corpus:
         self._bundle = None
         if getattr(config, "data_bundle", False):
             from recnet_tpu.data import bundle as B
-            self._bundle = B.load_or_build(config)
-            if vocab is not None and vocab.word2idx != self._bundle.vocab.word2idx:
-                raise ValueError(
-                    "explicit vocab does not match the bundle's vocab "
-                    f"({len(vocab.word2idx)} vs "
-                    f"{len(self._bundle.vocab.word2idx)} words); the bundle "
-                    "was built for different preprocessing inputs")
-            vocab = self._bundle.vocab
+            try:
+                self._bundle = B.load_or_build(config)
+            except FileNotFoundError as e:
+                # the bundle key stats every split's input files; an
+                # eval-only host that carries just the test split cannot
+                # even address a bundle — fall back to the raw path for
+                # the splits that were requested (loud, not silent)
+                import sys
+                print(f"[bundle] input file missing ({e}); falling back "
+                      "to raw CSV/HDF5 loading", file=sys.stderr)
+            if self._bundle is not None:
+                if (vocab is not None
+                        and vocab.word2idx != self._bundle.vocab.word2idx):
+                    raise ValueError(
+                        "explicit vocab does not match the bundle's vocab "
+                        f"({len(vocab.word2idx)} vs "
+                        f"{len(self._bundle.vocab.word2idx)} words); the "
+                        "bundle was built for different preprocessing inputs")
+                vocab = self._bundle.vocab
 
         self.vocab = vocab if vocab is not None else self.build_vocab()
 

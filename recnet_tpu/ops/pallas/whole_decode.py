@@ -322,7 +322,10 @@ def whole_greedy_decode(params: Dict, enc: jax.Array, uv: jax.Array,
     A = a["W"].shape[1]
     T = max_len + 1
     TB = min(block_b, B)
-    assert B % TB == 0
+    if B % TB != 0:
+        # argument validation, not an invariant — must survive python -O
+        # (grid=(B // TB,) would silently truncate the tail rows)
+        raise ValueError(f"batch {B} must divide by block_b tile {TB}")
 
     enc2 = enc.reshape(B, L * F)
     uv2 = uv.reshape(B, L * A)

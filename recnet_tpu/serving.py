@@ -100,6 +100,20 @@ class Captioner:
                                 early_exit=True)
         return np.asarray(res.tokens)[: int(res.n_steps)]
 
+    def validate_features(self, features: Sequence[np.ndarray]) -> None:
+        """Raise ValueError if any entry is not a non-empty (frames, feat)
+        array with this model's feature width. Callers that batch MANY
+        requests together (MicroBatcher) use this to reject a malformed
+        request in its own thread instead of failing the whole coalesced
+        dispatch it would have joined."""
+        want = self.dcfg.encoder_size
+        for i, f in enumerate(features):
+            f = np.asarray(f)
+            if f.ndim != 2 or f.shape[0] == 0 or f.shape[1] != want:
+                raise ValueError(
+                    f"features[{i}] has shape {f.shape}; expected "
+                    f"(frames, {want})")
+
     def caption(self, features: Sequence[np.ndarray],
                 beam_width: Optional[int] = None) -> List[str]:
         """features: list of (frames, feat) arrays (already encoder-output
@@ -186,11 +200,19 @@ class MicroBatcher:
         threads — requests are coalesced into shared device batches."""
         from concurrent.futures import Future
 
+        features = list(features)
+        # reject malformed requests HERE, in the offender's thread — once
+        # coalesced, one bad shape would fail every innocent request
+        # sharing the device dispatch
+        validate = getattr(self.captioner, "validate_features", None)
+        if validate is not None:
+            validate(features)
+
         fut: Future = Future()
         with self._cond:
             if self._closed:
                 raise RuntimeError("MicroBatcher is closed")
-            self._queue.append((beam_width, list(features), fut))
+            self._queue.append((beam_width, features, fut))
             self.n_requests += 1
             self._cond.notify()
         return fut.result()

@@ -24,6 +24,15 @@ def default_cache_dir() -> str:
             os.path.abspath(__file__)))), ".jax_cache")
 
 
+def enable_compile_cache_if_configured() -> Optional[str]:
+    """CLI entry-point policy: activate the cache only when the user asked
+    for it via JAX_COMPILATION_CACHE_DIR (which sitecustomize's early jax
+    import would otherwise silently ignore). Returns the path or None."""
+    if os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+        return enable_compile_cache()
+    return None
+
+
 def enable_compile_cache(path: Optional[str] = None,
                          min_compile_time_secs: Optional[float] = None) -> str:
     """Point jax's persistent compilation cache at ``path`` (default: the

@@ -155,3 +155,47 @@ def test_train_loop_with_bundle_matches_without(fixture_root, tmp_path):
     for a, b in zip(jax.tree.leaves(s1.dec_params),
                     jax.tree.leaves(s2.dec_params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_bundle_missing_input_falls_back_to_raw(fixture_root, tmp_path,
+                                                capsys):
+    """Eval-only host: data_bundle=True but the train split's files are
+    absent — Corpus must fall back to raw loading of the requested splits
+    (with a loud note) instead of crashing in bundle_key's os.stat."""
+    import shutil
+
+    root = str(tmp_path / "evalhost")
+    shutil.copytree(fixture_root, root)
+    tc = _tc(root, data_bundle=True,
+             data_bundle_root=str(tmp_path / "bundles2"),
+             build_train_data_loader=False, build_val_data_loader=False,
+             build_test_data_loader=True, build_score_data_loader=True)
+    os.remove(tc.video_fpath("train"))
+
+    corpus = Corpus(tc)
+    assert corpus._bundle is None
+    assert corpus.test_dataset is not None and len(corpus.test_dataset) > 0
+    assert "falling back" in capsys.readouterr().err
+
+
+def test_bundle_build_replace_race_is_success(fixture_root, tmp_path,
+                                              monkeypatch):
+    """If a concurrent builder wins the os.replace race, build_bundle must
+    treat the existing complete bundle as success, not crash."""
+    tc = _tc(fixture_root, data_bundle=True,
+             data_bundle_root=str(tmp_path / "bundles3"))
+    path = B.bundle_dir(tc)
+
+    real_replace = os.replace
+
+    def racing_replace(src, dst):
+        # simulate the loser: the winner's rename lands first, then ours
+        # fails with ENOTEMPTY
+        real_replace(src, dst)
+        raise OSError("Directory not empty")
+
+    monkeypatch.setattr(B.os, "replace", racing_replace)
+    B.build_bundle(tc, path)            # must not raise
+    assert os.path.isdir(path)
+    b = B.load_bundle(path)
+    assert set(b.datasets) == {"train", "val", "test"}

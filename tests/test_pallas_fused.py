@@ -243,3 +243,18 @@ def test_whole_decode_dual_matches_single(rng):
         one = whole_greedy_decode(params, enc, uv, bias2, **kw)
         two = whole_greedy_decode(params, enc, uv, bias2, dual=True, **kw)
         np.testing.assert_array_equal(np.asarray(two), np.asarray(one))
+
+
+def test_whole_decode_rejects_indivisible_block_b(rng):
+    """Argument validation must survive python -O: an indivisible block_b
+    raises ValueError instead of silently truncating the tail tile."""
+    from recnet_tpu.decoding import greedy_decode_whole
+
+    cfg = dec_mod.DecoderConfig(
+        cell_type="GRU", n_layers=1, vocab_size=V, embedding_size=E,
+        embedding_scale=1.0, encoder_size=F, hidden_size=H, attn_size=A,
+        embedding_dropout=0.0, dropout=0.0, out_dropout=0.0)
+    params = dec_mod.init_decoder_params(jax.random.PRNGKey(3), cfg)
+    enc = jnp.asarray(rng.standard_normal((B, L, F)).astype(np.float32))
+    with pytest.raises(ValueError, match="block_b"):
+        greedy_decode_whole(params, cfg, enc, 9, block_b=6, interpret=True)

@@ -368,3 +368,38 @@ def test_http_concurrent_load_is_microbatched(captioner):
     finally:
         server.shutdown()
         front.close()
+
+
+def test_captioner_validates_feature_shapes(captioner):
+    rng = np.random.default_rng(7)
+    good = rng.standard_normal((8, 32)).astype(np.float32)
+    captioner.validate_features([good])          # no raise
+    for bad in (rng.standard_normal((8, 7)),     # wrong feature width
+                rng.standard_normal((8,)),       # not 2-D
+                np.zeros((0, 32), np.float32)):  # no frames
+        with pytest.raises(ValueError):
+            captioner.validate_features([good, bad])
+
+
+def test_microbatcher_malformed_request_fails_alone(captioner):
+    """A bad-shape request must raise in ITS OWN caller (at enqueue), never
+    poison the coalesced batch its contemporaries dispatch in."""
+    import threading
+
+    from recnet_tpu.serving import MicroBatcher
+
+    mb = MicroBatcher(captioner, flush_ms=60.0)
+    rng = np.random.default_rng(8)
+    results = {}
+
+    def good_client():
+        results["good"] = mb.caption(
+            [rng.standard_normal((8, 32)).astype(np.float32)])
+
+    t = threading.Thread(target=good_client)
+    t.start()
+    with pytest.raises(ValueError):
+        mb.caption([rng.standard_normal((8, 7)).astype(np.float32)])
+    t.join(timeout=30)
+    mb.close()
+    assert len(results["good"]) == 1 and isinstance(results["good"][0], str)
