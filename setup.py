@@ -27,6 +27,7 @@ setup(
     entry_points={
         "console_scripts": [
             "recnet-split = recnet_tpu.cli.split:main",
+            "recnet-bundle = recnet_tpu.cli.bundle:main",
             "recnet-train = recnet_tpu.cli.train:main",
             "recnet-eval = recnet_tpu.cli.eval:main",
             "recnet-caption = recnet_tpu.cli.caption:main",

@@ -178,6 +178,37 @@ def test_bundle_missing_input_falls_back_to_raw(fixture_root, tmp_path,
     assert "falling back" in capsys.readouterr().err
 
 
+def test_bundle_cli_build_and_info(fixture_root, tmp_path, capsys):
+    """recnet-bundle build packs the keyed artifact; info prints its meta
+    (both via the config route and --path)."""
+    import json
+
+    from recnet_tpu.cli import bundle as cli
+
+    tc = _tc(fixture_root)
+    broot = str(tmp_path / "bundles_cli")
+    argv = ["--corpus", "MSVD", "--data_root", fixture_root,
+            "--bundle_root", broot,
+            "--encoder", tc.encoder_model,
+            "--encoder_output_len", str(tc.encoder_output_len),
+            "--min_count", str(tc.min_count),
+            "--caption_max_len", str(tc.caption_max_len)]
+    assert cli.main(["build"] + argv) == 0
+    meta = json.loads(capsys.readouterr().out)
+    assert meta["splits"]["train"]["n_videos"] > 0
+    assert os.path.isdir(meta["path"])
+    # second build without --rebuild: reuses, still exits 0 with info
+    assert cli.main(["build"] + argv) == 0
+    err = capsys.readouterr()
+    assert "already exists" in err.err
+    # info via --path
+    assert cli.main(["info", "--path", meta["path"]]) == 0
+    meta2 = json.loads(capsys.readouterr().out)
+    assert meta2["key"] == meta["key"]
+    # info for a missing bundle fails loudly
+    assert cli.main(["info", "--path", str(tmp_path / "nope")]) == 1
+
+
 def test_bundle_build_replace_race_is_success(fixture_root, tmp_path,
                                               monkeypatch):
     """If a concurrent builder wins the os.replace race, build_bundle must
