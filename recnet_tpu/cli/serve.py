@@ -115,9 +115,20 @@ def main(argv=None):
                         "<EOS> (default -1 = exact full-length search; "
                         "1.94x measured at margin 2 but beam outputs can "
                         "differ — serving.Captioner docstring)")
+    a.add_argument("--use_pallas", action="store_true",
+                   help="use the Pallas whole-decode / top-K kernels for "
+                        "greedy and beam (TPU, GRU/1-layer configs)")
+    a.add_argument("--greedy_segment", type=int, default=0,
+                   help="with --use_pallas: run the whole-decode kernel in "
+                        "N-step segments with a device-level all-<PAD> "
+                        "early exit between them — EXACT output, skips the "
+                        "dead tail steps when captions end before max_len "
+                        "(0 = single fixed-length kernel)")
     args = a.parse_args(argv)
 
     kw = dict(dtype=args.dtype, batch_size=args.batch_size,
+              use_pallas=args.use_pallas,
+              greedy_segment=args.greedy_segment or None,
               beam_length_margin=(None if args.beam_length_margin < 0
                                   else args.beam_length_margin))
     if args.mesh:

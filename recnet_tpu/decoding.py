@@ -186,6 +186,84 @@ def greedy_decode_whole(params: Dict, cfg: dec_mod.DecoderConfig,
     return GreedyResult(tokens, n_steps)
 
 
+@partial(jax.jit, static_argnames=("cfg", "max_len", "block_b", "segment",
+                                   "eos_stop", "interpret"))
+def greedy_decode_whole_segmented(params: Dict, cfg: dec_mod.DecoderConfig,
+                                  encoder_outputs: jax.Array, max_len: int,
+                                  block_b: int = 128, segment: int = 8,
+                                  eos_stop: bool = False,
+                                  interpret: bool = False) -> GreedyResult:
+    """Whole-loop Pallas greedy decode with DEVICE-LEVEL early exit.
+
+    Runs the production whole-decode step in fixed ``segment``-step Pallas
+    calls that carry (h, c, token) through HBM, chained by an XLA
+    ``while_loop`` that stops at the first segment boundary where every
+    row's current token is <PAD> — the reference's whole-batch break
+    (eval.py:30) at segment granularity. Unlike ``early_exit=True`` on
+    ``greedy_decode_whole`` (a per-tile ``lax.while_loop`` INSIDE the
+    kernel, which defeats Mosaic's pipelining at ~2x per-step cost and
+    deviates on multi-tile batches), every segment keeps the pipelined
+    fori_loop and the stop condition is global, so the executed token
+    prefix is bit-identical to ``greedy_decode_whole``'s and ``n_steps``
+    matches exactly (pinned by tests). Costs: up to ``segment - 1`` extra
+    steps past the break point, plus one weights+enc/uv HBM re-fetch and a
+    (B, H) x2 + (B,) state round-trip per segment — measured 6-10%
+    overhead when NO stop fires (benchmarks/profile_whole_segmented.py).
+
+    ``eos_stop=True`` additionally stops once EVERY row has emitted its
+    first <EOS>. The all-<PAD> break almost never fires on trained models
+    (PAD-target steps are masked out of the training loss, train.py:246,
+    so models never learn to emit <PAD>), while first-EOS happens well
+    before max_len — and rows are independent in greedy decode, so tokens
+    after a row's first <EOS> can never change its SENTENCE (every
+    consumer cuts at first EOS, utils.py:11-20). With ``eos_stop`` the
+    returned token matrix is PAD beyond the stop boundary (not
+    bit-identical to the full kernel's dead-tail tokens) but the decoded
+    sentences are EXACT — unlike the beam length cutoff, which is an
+    approximation. This is the serving fast path."""
+    assert cfg.n_layers == 1
+    from recnet_tpu.ops.pallas.whole_decode import whole_greedy_decode_segment
+
+    B = encoder_outputs.shape[0]
+    T = max_len + 1
+    n_seg = -(-T // segment)
+    dtype = encoder_outputs.dtype
+    r = params["rnn"][0]
+    H = r["w_hh"].shape[0]
+    uv = attn_ops.precompute_uv(params["attention"], encoder_outputs)
+    bias2 = jnp.stack([r["b_ih"], r["b_hh"]])
+
+    def cond(carry):
+        s, h, c, tok, seen_eos, toks = carry
+        live = jnp.logical_not(jnp.all(tok == cfg.pad_token))
+        if eos_stop:
+            live &= jnp.logical_not(jnp.all(seen_eos))
+        return (s < n_seg) & live
+
+    def body(carry):
+        s, h, c, tok, seen_eos, toks = carry
+        tseg, h, c, tok = whole_greedy_decode_segment(
+            params, encoder_outputs, uv, bias2, h, c, tok,
+            emb_size=cfg.embedding_size, seg_len=segment, block_b=block_b,
+            cell_type=cfg.cell_type, interpret=interpret)
+        toks = jax.lax.dynamic_update_slice(
+            toks, tseg, (jnp.zeros([], jnp.int32), s * segment))
+        seen_eos |= jnp.any(tseg == cfg.eos_token, axis=1, keepdims=True)
+        return (s + 1, h, c, tok, seen_eos, toks)
+
+    init = (jnp.zeros([], jnp.int32),
+            jnp.zeros((B, H), dtype), jnp.zeros((B, H), dtype),
+            jnp.full((B, 1), cfg.sos_token, jnp.int32),
+            jnp.zeros((B, 1), jnp.bool_),
+            jnp.full((B, n_seg * segment), cfg.pad_token, jnp.int32))
+    _, _, _, _, _, toks = jax.lax.while_loop(cond, body, init)
+    tokens = toks[:, :T].T                                 # (T, B)
+    all_pad = jnp.all(tokens == cfg.pad_token, axis=1)     # (T,)
+    first = jnp.argmax(all_pad)
+    n_steps = jnp.where(jnp.any(all_pad), first + 1, T).astype(jnp.int32)
+    return GreedyResult(tokens, n_steps)
+
+
 class BeamResult(NamedTuple):
     tokens: jax.Array    # (B, T) int32 — top beam history, valid through n_steps
     n_steps: jax.Array   # scalar int32

@@ -27,7 +27,8 @@ class Captioner:
 
     def __init__(self, tc, vocab, dec_params, *, dtype: str = "bfloat16",
                  batch_size: int = 1024, use_pallas: bool = False,
-                 mesh=None, beam_length_margin: Optional[int] = None):
+                 mesh=None, beam_length_margin: Optional[int] = None,
+                 greedy_segment: Optional[int] = None):
         """``mesh`` (a jax.sharding.Mesh with a 'data' axis, e.g. from
         parallel.mesh.make_mesh) enables multi-chip data-parallel serving:
         params replicate, each request chunk is batch-sharded, and GSPMD
@@ -48,6 +49,14 @@ class Captioner:
         throughput matters more than exact beam-search output parity."""
         self.tc = tc
         self.beam_length_margin = beam_length_margin
+        # greedy_segment: run the Pallas whole-decode in N-step segments
+        # with a device-level all-<PAD> early exit between them
+        # (decoding.greedy_decode_whole_segmented) — EXACT output (unlike
+        # beam_length_margin), pays off when captions end before max_len
+        # (the normal trained-model serving case; measured in
+        # benchmarks/profile_whole_segmented.py). None = the single
+        # fixed-length kernel.
+        self.greedy_segment = greedy_segment
         self.vocab = vocab
         self.dcfg = dec_mod.config_from_train(tc, vocab.n_vocabs)
         self.batch_size = batch_size
@@ -90,11 +99,21 @@ class Captioner:
                               length_cutoff_margin=margin)
             return np.asarray(res.tokens)[:, : int(res.n_steps)].T
         if self.use_pallas and jax.default_backend() != "cpu":
-            from recnet_tpu.decoding import greedy_decode_whole
+            from recnet_tpu.decoding import (greedy_decode_whole,
+                                             greedy_decode_whole_segmented)
             B = videos.shape[0]
-            res = greedy_decode_whole(
-                self.params, self.dcfg, videos, max_len,
-                block_b=128 if B % 128 == 0 else B)
+            block_b = 128 if B % 128 == 0 else B
+            if self.greedy_segment:
+                # eos_stop: sentence-exact device-level early exit (the
+                # all-<PAD> break never fires on trained models; see
+                # decoding.greedy_decode_whole_segmented)
+                res = greedy_decode_whole_segmented(
+                    self.params, self.dcfg, videos, max_len,
+                    block_b=block_b, segment=self.greedy_segment,
+                    eos_stop=True)
+            else:
+                res = greedy_decode_whole(
+                    self.params, self.dcfg, videos, max_len, block_b=block_b)
         else:
             res = greedy_decode(self.params, self.dcfg, videos, max_len,
                                 early_exit=True)

@@ -258,3 +258,90 @@ def test_whole_decode_rejects_indivisible_block_b(rng):
     enc = jnp.asarray(rng.standard_normal((B, L, F)).astype(np.float32))
     with pytest.raises(ValueError, match="block_b"):
         greedy_decode_whole(params, cfg, enc, 9, block_b=6, interpret=True)
+
+
+@pytest.mark.parametrize("cell", ["GRU", "LSTM"])
+@pytest.mark.parametrize("segment", [3, 5, 10, 12])
+def test_whole_decode_segmented_matches(rng, cell, segment):
+    """Segmented whole-decode (device-level early exit between N-step
+    Pallas segments) == the single whole kernel on the executed prefix,
+    across multi-tile batches and segment lengths that don't divide T."""
+    from recnet_tpu.decoding import (greedy_decode_whole,
+                                     greedy_decode_whole_segmented)
+
+    cfg = dec_mod.DecoderConfig(
+        cell_type=cell, n_layers=1, vocab_size=V, embedding_size=E,
+        embedding_scale=1.0, encoder_size=F, hidden_size=H, attn_size=A,
+        embedding_dropout=0.0, dropout=0.0, out_dropout=0.0)
+    params = dec_mod.init_decoder_params(jax.random.PRNGKey(9), cfg)
+    params = dict(params, out_w=params["out_w"] * 8.0)
+    enc = jnp.asarray(rng.standard_normal((B, L, F)).astype(np.float32))
+
+    full = greedy_decode_whole(params, cfg, enc, 9, block_b=8,
+                               interpret=True)
+    seg = greedy_decode_whole_segmented(params, cfg, enc, 9, block_b=8,
+                                        segment=segment, interpret=True)
+    n = int(full.n_steps)
+    assert int(seg.n_steps) == n
+    np.testing.assert_array_equal(np.asarray(seg.tokens)[:n],
+                                  np.asarray(full.tokens)[:n])
+
+
+def test_whole_decode_segmented_early_stop(rng):
+    """A model that emits <PAD> immediately stops at the first segment
+    boundary with the same n_steps/prefix as the full kernel."""
+    from recnet_tpu.decoding import (greedy_decode_whole,
+                                     greedy_decode_whole_segmented)
+
+    cfg = dec_mod.DecoderConfig(
+        cell_type="GRU", n_layers=1, vocab_size=V, embedding_size=E,
+        embedding_scale=1.0, encoder_size=F, hidden_size=H, attn_size=A,
+        embedding_dropout=0.0, dropout=0.0, out_dropout=0.0)
+    params = dec_mod.init_decoder_params(jax.random.PRNGKey(9), cfg)
+    params = dict(params,
+                  out_b=params["out_b"].at[cfg.pad_token].set(50.0))
+    enc = jnp.asarray(rng.standard_normal((B, L, F)).astype(np.float32))
+
+    full = greedy_decode_whole(params, cfg, enc, 9, block_b=8,
+                               interpret=True)
+    seg = greedy_decode_whole_segmented(params, cfg, enc, 9, block_b=8,
+                                        segment=4, interpret=True)
+    assert int(full.n_steps) == 1
+    assert int(seg.n_steps) == 1
+    np.testing.assert_array_equal(np.asarray(seg.tokens)[:1],
+                                  np.asarray(full.tokens)[:1])
+
+
+def test_whole_decode_segmented_eos_stop_sentence_exact(rng):
+    """eos_stop=True stops once every row has a first <EOS>; tokens beyond
+    the stop are PAD-filled, but sentences (cut at first EOS, the contract
+    of every consumer — reference utils.py:11-20) are EXACT."""
+    from recnet_tpu.decoding import (greedy_decode_whole,
+                                     greedy_decode_whole_segmented,
+                                     tokens_to_sentences)
+
+    cfg = dec_mod.DecoderConfig(
+        cell_type="GRU", n_layers=1, vocab_size=V, embedding_size=E,
+        embedding_scale=1.0, encoder_size=F, hidden_size=H, attn_size=A,
+        embedding_dropout=0.0, dropout=0.0, out_dropout=0.0)
+    params = dec_mod.init_decoder_params(jax.random.PRNGKey(9), cfg)
+    # bias <EOS> so every row terminates in the first few steps but the
+    # all-<PAD> break never fires (like a trained model)
+    params = dict(params, out_w=params["out_w"] * 8.0,
+                  out_b=params["out_b"].at[cfg.eos_token].set(6.0))
+    enc = jnp.asarray(rng.standard_normal((B, L, F)).astype(np.float32))
+
+    full = greedy_decode_whole(params, cfg, enc, 9, block_b=8,
+                               interpret=True)
+    seg = greedy_decode_whole_segmented(params, cfg, enc, 9, block_b=8,
+                                        segment=3, eos_stop=True,
+                                        interpret=True)
+    idx2word = {i: f"w{i}" for i in range(V)}
+    s_full = tokens_to_sentences(
+        np.asarray(full.tokens)[: int(full.n_steps)], idx2word,
+        cfg.eos_token)
+    s_seg = tokens_to_sentences(
+        np.asarray(seg.tokens)[: int(seg.n_steps)], idx2word, cfg.eos_token)
+    assert s_seg == s_full
+    # the stop engaged: fewer valid steps reported than the full kernel
+    assert int(seg.n_steps) <= int(full.n_steps)
