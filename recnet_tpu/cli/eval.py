@@ -29,11 +29,24 @@ def main(argv=None):
     a.add_argument("--greedy", action="store_true")
     a.add_argument("--data_root", type=str, default=None,
                    help="override the data root stored in the checkpoint")
+    a.add_argument("--use_pallas", action="store_true", default=None,
+                   help="use the Pallas whole-decode / top-K kernels "
+                        "(default: whatever the checkpoint trained with)")
+    a.add_argument("--greedy_segment", type=int, default=None,
+                   help="with Pallas + --greedy: run the whole-decode "
+                        "kernel in N-step segments with device-level "
+                        "early exit once every row has its first <EOS> — "
+                        "sentence-exact, skips the dead tail (default: "
+                        "the checkpoint's setting)")
     args = a.parse_args(argv)
 
     tc, vocab = ckpt.load_config_and_vocab(args.ckpt)
     if args.data_root:
         tc = tc.replace(data_root=args.data_root)
+    if args.use_pallas is not None:
+        tc = tc.replace(use_pallas=args.use_pallas)
+    if args.greedy_segment is not None:
+        tc = tc.replace(greedy_segment=args.greedy_segment)
     # only the score loader + test GTs are needed (reference eval.py:178-181).
     # data_bundle is turned off too: a checkpoint trained with --data_bundle
     # would otherwise make this eval-only corpus stat/pack ALL three splits

@@ -161,6 +161,14 @@ class TrainConfig:
     # log/validate/test/save cadence must be a multiple of k.
     steps_per_dispatch: int = 1
     use_pallas: bool = False          # fused Pallas decoder step (falls back to XLA)
+    # With use_pallas: run the greedy whole-decode kernel in N-step segments
+    # chained by an XLA while_loop that stops once every row has emitted its
+    # first <EOS> (or at an all-<PAD> boundary) — device-level early exit,
+    # sentence-EXACT (decoding.greedy_decode_whole_segmented; measured 2.32x
+    # at B=2048/segment=4 on a trained model). Applies to the periodic
+    # test-eval greedy pass and cli.eval --greedy. 0 = single fixed-length
+    # kernel (bit-exact dead-tail tokens, runs all max_len+1 steps).
+    greedy_segment: int = 0
     # Keep all (deterministically sampled) train video features resident in
     # HBM and send only (B,) row indices per step; the jitted step gathers
     # features on device (training/step.py build_train_step_cached).

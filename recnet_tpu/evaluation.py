@@ -18,7 +18,8 @@ from recnet_tpu.metrics import CaptionScorer, gts_from_pairs, res_from_dict
 
 
 def decode_batch(decoder_params, dcfg, videos, search_method, max_len: int,
-                 use_pallas: bool = False, mesh=None):
+                 use_pallas: bool = False, mesh=None,
+                 greedy_segment: int = 0):
     """Returns (n_steps, B) int token array, truncated like the reference.
 
     ``mesh`` is set on multi-host runs: the sharded params make decoding a
@@ -38,12 +39,25 @@ def decode_batch(decoder_params, dcfg, videos, search_method, max_len: int,
         import jax
 
         B = videos.shape[0]
-        if (use_pallas and dcfg.cell_type == "GRU" and dcfg.n_layers == 1
+        if (use_pallas and dcfg.n_layers == 1
                 and jax.default_backend() != "cpu"):
-            from recnet_tpu.decoding import greedy_decode_whole
+            from recnet_tpu import decoding as dec
             block = 128 if B % 128 == 0 else B
-            res = greedy_decode_whole(decoder_params, dcfg, videos, max_len,
-                                      block_b=block)
+            if greedy_segment:
+                # segmented kernel with device-level early exit
+                # (eos_stop): the scored artifact is the SENTENCE list
+                # (tokens_to_sentences cuts every row at its first <EOS>),
+                # and greedy rows are independent, so skipping the dead
+                # tail past everyone's first <EOS> is sentence-exact —
+                # predictions.txt and all metric scores are unchanged
+                # (measured 2.32x device at B=2048/segment=4 on a trained
+                # model; benchmarks/profile_whole_segmented.py)
+                res = dec.greedy_decode_whole_segmented(
+                    decoder_params, dcfg, videos, max_len, block_b=block,
+                    segment=greedy_segment, eos_stop=True)
+            else:
+                res = dec.greedy_decode_whole(
+                    decoder_params, dcfg, videos, max_len, block_b=block)
         else:
             res = greedy_decode(decoder_params, dcfg, videos, max_len)
         n = int(res.n_steps)
@@ -92,7 +106,8 @@ def evaluate(tc, corpus, decoder_params, dcfg, search_method,
         tokens = decode_batch(decoder_params, dcfg, videos, search_method,
                               tc.caption_max_len,
                               use_pallas=getattr(tc, "use_pallas", False),
-                              mesh=mesh)
+                              mesh=mesh,
+                              greedy_segment=getattr(tc, "greedy_segment", 0))
         total_vids += list(vids)
         total_pd += tokens_to_sentences(tokens, corpus.vocab.idx2word, eos)
 

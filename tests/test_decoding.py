@@ -324,3 +324,45 @@ def test_evaluation_beam_path_forwards_use_pallas(monkeypatch):
     ev.decode_batch({}, _cfg("GRU"), videos, ("beam", 5), max_len=4,
                     use_pallas=False)
     assert captured.get("use_pallas_topk") is False
+
+
+def test_evaluation_greedy_path_forwards_greedy_segment(monkeypatch):
+    """tc.greedy_segment must route the eval greedy pass to the segmented
+    whole-decode kernel (eos_stop early exit), and 0 must keep the single
+    fixed-length kernel — decode-level sentence exactness is pinned in
+    test_pallas_fused.py; this pins the evaluation wiring."""
+    import types
+
+    from recnet_tpu import decoding as dec
+    from recnet_tpu import evaluation as ev
+
+    captured = {}
+
+    def fake(name):
+        def f(params, dcfg, videos, max_len, **kw):
+            captured["fn"] = name
+            captured.update(kw)
+            return types.SimpleNamespace(
+                tokens=jnp.zeros((max_len + 1, videos.shape[0]), jnp.int32),
+                n_steps=jnp.asarray(max_len + 1, jnp.int32))
+        return f
+
+    monkeypatch.setattr(dec, "greedy_decode_whole_segmented",
+                        fake("segmented"))
+    monkeypatch.setattr(dec, "greedy_decode_whole", fake("whole"))
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    videos = np.zeros((2, 3, ENC), np.float32)
+
+    ev.decode_batch({}, _cfg("GRU"), videos, "greedy", max_len=4,
+                    use_pallas=True, greedy_segment=4)
+    assert captured.pop("fn") == "segmented"
+    assert captured.get("segment") == 4 and captured.get("eos_stop") is True
+
+    ev.decode_batch({}, _cfg("GRU"), videos, "greedy", max_len=4,
+                    use_pallas=True, greedy_segment=0)
+    assert captured.pop("fn") == "whole"
+
+    # LSTM configs take the kernel too (it supports both cell types)
+    ev.decode_batch({}, _cfg("LSTM"), videos, "greedy", max_len=4,
+                    use_pallas=True, greedy_segment=4)
+    assert captured.pop("fn") == "segmented"
