@@ -53,6 +53,11 @@ def main(argv=None):
                    help="keep all train video features resident in HBM and "
                         "send only row indices per step (bit-identical; "
                         "requires uniform frame sampling)")
+    a.add_argument("--feature_cache_dtype", type=str, default=None,
+                   choices=["float32", "bfloat16", "float16"],
+                   help="storage dtype for the HBM feature caches; half-"
+                        "width halves upload + residency, compute stays f32 "
+                        "(default float32 = bit-identical)")
     a.add_argument("--data_bundle", action="store_true",
                    help="build/load the preprocessed-corpus bundle (packed "
                         "features + tokenized captions + vocab, mmapped on "
@@ -88,6 +93,8 @@ def main(argv=None):
         tc = tc.replace(steps_per_dispatch=args.steps_per_dispatch)
     if args.device_feature_cache:
         tc = tc.replace(device_feature_cache=True)
+    if args.feature_cache_dtype is not None:
+        tc = tc.replace(feature_cache_dtype=args.feature_cache_dtype)
     if args.data_bundle:
         tc = tc.replace(data_bundle=True)
 

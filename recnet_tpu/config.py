@@ -178,6 +178,14 @@ class TrainConfig:
     # the uncached path then; stochastic sampling would be frozen by a
     # cache, so it is rejected).
     device_feature_cache: bool = False
+    # Storage dtype for the HBM feature caches ("float32" | "bfloat16" |
+    # "float16"). Half-width storage halves the cache upload + residency
+    # (the warm-start dominant cost on tunneled links: ~1 GiB at MSR-VTT
+    # scale) at the price of rounding the features once on the way in; the
+    # jitted steps gather rows and cast back to f32, so all compute/state
+    # stays f32. Default "float32" keeps the bit-identical-to-uncached
+    # contract (tests/test_train_step.py).
+    feature_cache_dtype: str = "float32"
     # Preprocessed-corpus bundle (data/bundle.py): pack features (frame
     # pipeline applied), tokenized caption matrices, row maps and the vocab
     # into one versioned on-disk artifact keyed on config+input-file hashes;

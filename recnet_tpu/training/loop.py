@@ -81,6 +81,11 @@ def train(tc: TrainConfig, debug: bool = False, loss_only: bool = False,
                 raise ValueError(
                     f"{name}={every} must be a multiple of "
                     f"steps_per_dispatch={k}")
+    cache_dt_name = getattr(tc, "feature_cache_dtype", "float32")
+    if cache_dt_name not in ("float32", "bfloat16", "float16"):
+        raise ValueError(
+            f"Unknown feature_cache_dtype {cache_dt_name!r}; expected "
+            "'float32', 'bfloat16' or 'float16'")
     say = print if primary else (lambda *a, **k: None)
     t_setup = time.time()
     say(f"MODEL ID: {tc.id}")
@@ -119,14 +124,21 @@ def train(tc: TrainConfig, debug: bool = False, loss_only: bool = False,
         return jax.device_put(x)
 
     use_cache = bool(getattr(tc, "device_feature_cache", False))
+    cache_dtype = jnp.dtype(cache_dt_name)
+
+    def as_cache_dtype(x):
+        # half-width storage halves the upload + HBM residency; the jitted
+        # steps widen gathered rows back to f32 (step.py _gather_f32)
+        return x if x.dtype == cache_dtype else x.astype(cache_dtype)
+
     if use_cache:
         if tc.frame_sampling_method != "uniform":
             raise ValueError(
                 "device_feature_cache requires frame_sampling_method="
                 "'uniform' (stochastic sampling would be frozen by the "
                 f"cache); got {tc.frame_sampling_method!r}")
-        cache_np = corpus.train_dataset.feature_cache()
-        say(f"device feature cache: {cache_np.shape} "
+        cache_np = as_cache_dtype(corpus.train_dataset.feature_cache())
+        say(f"device feature cache: {cache_np.shape} {cache_dt_name} "
             f"({cache_np.nbytes / 2**20:.0f} MiB resident in HBM)")
         cache_dev = put_replicated(cache_np)
         del cache_np
@@ -142,7 +154,8 @@ def train(tc: TrainConfig, debug: bool = False, loss_only: bool = False,
     if use_cache and corpus.val_batcher is not None:
         # the val pass revisits every (video, caption) pair — its own
         # (tiny) cache saves ~0.7 GB of upload per validation at MSVD scale
-        val_cache_dev = put_replicated(corpus.val_dataset.feature_cache())
+        val_cache_dev = put_replicated(
+            as_cache_dtype(corpus.val_dataset.feature_cache()))
         _val_cached = build_val_step_cached(tc, dcfg, rcfg)
         val_step = lambda dp, rp, rows, caps: _val_cached(
             dp, rp, val_cache_dev, rows, caps)

@@ -167,14 +167,28 @@ def build_train_step_cached(tc: TrainConfig, dcfg: dec_mod.DecoderConfig,
     exact f32 rows; tests/test_train_step.py pins it).  The cache is an
     ARGUMENT, not a closure: jit-closing over a 200 MB array would ship it
     with the compile request (NOTES.md environment lessons).
+
+    The cache may be stored half-width (config.feature_cache_dtype); the
+    gather casts rows back to f32 so downstream compute is unchanged.
     """
     step_fn = _make_step_fn(tc, dcfg, rcfg)
 
     def fn(state: TrainState, cache, vid_rows, captions, rng):
-        videos = jnp.take(cache, vid_rows, axis=0)
+        videos = _gather_f32(cache, vid_rows)
         return step_fn(state, videos, captions, rng)
 
     return jax.jit(fn, donate_argnums=(0,))
+
+
+def _gather_f32(cache, vid_rows):
+    """On-device row gather that undoes half-width cache storage
+    (config.feature_cache_dtype): gather in the storage dtype (half the
+    HBM read for bf16/f16), then widen to f32 for compute. No-op cast for
+    the default f32 cache, preserving its bit-identity contract."""
+    videos = jnp.take(cache, vid_rows, axis=0)
+    if videos.dtype != jnp.float32:
+        videos = videos.astype(jnp.float32)
+    return videos
 
 
 def build_train_multi_step_cached(tc: TrainConfig,
@@ -188,7 +202,7 @@ def build_train_multi_step_cached(tc: TrainConfig,
     def multi_fn(state: TrainState, cache, vid_rows, captions, rng):
         def body(s, xs):
             rows, c = xs
-            return step_fn(s, jnp.take(cache, rows, axis=0), c, rng)
+            return step_fn(s, _gather_f32(cache, rows), c, rng)
 
         return jax.lax.scan(body, state, (vid_rows, captions), length=k)
 
@@ -300,7 +314,7 @@ def build_val_step_cached(tc: TrainConfig, dcfg: dec_mod.DecoderConfig,
     pad = tc.init_word2idx_dict["<PAD>"]
 
     def val_fn(dec_params, rec_params, cache, vid_rows, captions):
-        videos = jnp.take(cache, vid_rows, axis=0)
+        videos = _gather_f32(cache, vid_rows)
         total, aux = _forward(
             dec_params, rec_params, dcfg, rcfg, pad, tc.lambda_recon,
             tc.decoder_lambda_reg, tc.reconstructor_lambda_reg,

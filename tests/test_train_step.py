@@ -252,6 +252,46 @@ def test_cached_step_matches_uncached(k, rng=None):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_cached_step_halfwidth_cache_matches_prerounded():
+    """A bfloat16 feature cache (config.feature_cache_dtype) is exactly
+    the f32 path run on once-rounded features: gather-then-widen from the
+    bf16 cache == widening the cache rows up front. Compute stays f32."""
+    from recnet_tpu.training.step import build_train_step_cached
+
+    rng = np.random.default_rng(11)
+    tc = _tiny_tc(use_recon=True, reconstructor_type="global")
+    vocab_size = 30
+    state_a, dcfg, rcfg = init_train_state(jax.random.PRNGKey(0), tc,
+                                           vocab_size)
+    state_b, _, _ = init_train_state(jax.random.PRNGKey(0), tc, vocab_size)
+    key = jax.random.PRNGKey(3)
+
+    cache_f32 = jnp.asarray(rng.standard_normal(
+        (10, tc.encoder_output_len, tc.encoder_output_size)
+    ).astype(np.float32))
+    cache_bf16 = cache_f32.astype(jnp.bfloat16)
+    rows = jnp.asarray(rng.integers(0, 10, tc.batch_size).astype(np.int32))
+    _, caps = _batch(rng, tc, vocab_size)
+
+    plain = build_train_step(tc, dcfg, rcfg)
+    cached = build_train_step_cached(tc, dcfg, rcfg)
+    videos_rounded = jnp.take(cache_bf16, rows, axis=0).astype(jnp.float32)
+    state_a, ma = plain(state_a, videos_rounded, caps, key)
+    state_b, mb = cached(state_b, cache_bf16, rows, caps, key)
+    assert float(ma["loss"]) == float(mb["loss"])
+    for a, b in zip(jax.tree_util.tree_leaves(state_a.dec_params),
+                    jax.tree_util.tree_leaves(state_b.dec_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_loop_rejects_unknown_feature_cache_dtype():
+    from recnet_tpu.training.loop import train
+
+    tc = _tiny_tc(device_feature_cache=True, feature_cache_dtype="int8")
+    with pytest.raises(ValueError, match="feature_cache_dtype"):
+        train(tc)
+
+
 @pytest.mark.slow
 def test_cached_loop_matches_uncached_loop(tmp_path):
     """The full training loop with device_feature_cache=True reproduces the
