@@ -222,6 +222,10 @@ def main(argv=None):
                         "the rebuild-everything-from-raw startup baseline)")
     a.add_argument("--validate_every", type=int, default=5000)
     a.add_argument("--test_every", type=int, default=10000)
+    a.add_argument("--feature_cache_dtype", type=str, default="float32",
+                   choices=["float32", "bfloat16", "float16"],
+                   help="HBM feature-cache storage dtype (half-width "
+                        "halves the warm-start cache upload)")
     a.add_argument("--steps_per_dispatch", type=int, default=1,
                    help="k train steps per device dispatch (bit-identical "
                         "lax.scan; amortizes per-iteration link round-trips "
@@ -263,6 +267,7 @@ def main(argv=None):
         test_every=args.test_every,
         save_every=args.iters,
         device_feature_cache=not args.no_cache,
+        feature_cache_dtype=args.feature_cache_dtype,
         data_bundle=not args.no_bundle,
         steps_per_dispatch=args.steps_per_dispatch,
     )
@@ -300,6 +305,7 @@ def main(argv=None):
         "setup_seconds": round(setup_seconds, 1),
         "steps_per_sec": round(args.iters / wall, 1),
         "device_feature_cache": not args.no_cache,
+        "feature_cache_dtype": args.feature_cache_dtype,
         "data_bundle": not args.no_bundle,
         "steps_per_dispatch": args.steps_per_dispatch,
         "final_scores": scores,
