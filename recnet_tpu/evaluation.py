@@ -36,11 +36,10 @@ def decode_batch(decoder_params, dcfg, videos, search_method, max_len: int,
     else:
         videos = jnp.asarray(videos)
     if isinstance(search_method, str) and search_method == "greedy":
-        import jax
+        from recnet_tpu.decoding import pallas_supported
 
         B = videos.shape[0]
-        if (use_pallas and dcfg.n_layers == 1
-                and jax.default_backend() != "cpu"):
+        if use_pallas and pallas_supported(dcfg, "greedy_whole"):
             from recnet_tpu import decoding as dec
             block = 128 if B % 128 == 0 else B
             if greedy_segment:
@@ -63,15 +62,15 @@ def decode_batch(decoder_params, dcfg, videos, search_method, max_len: int,
         n = int(res.n_steps)
         return np.asarray(res.tokens)[:n]                     # (n, B)
     elif isinstance(search_method, (tuple, list)) and search_method[0] == "beam":
-        import jax
+        from recnet_tpu.decoding import pallas_supported
 
         beam_width = int(search_method[1])
         # honor tc.use_pallas on the beam path too (round-3 gap: only
         # greedy took the kernel here while serving.Captioner wired it) —
         # the fused projection+top-K kernel is f32 token-exact vs XLA
         res = beam_decode(decoder_params, dcfg, videos, beam_width, max_len,
-                          use_pallas_topk=(use_pallas and
-                                           jax.default_backend() != "cpu"))
+                          use_pallas_topk=(use_pallas and pallas_supported(
+                              dcfg, "beam_topk")))
         n = int(res.n_steps)
         # reference transposes the (B, n) beam output to (n, B) (eval.py:148-149)
         return np.asarray(res.tokens)[:, :n].T

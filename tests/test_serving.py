@@ -403,3 +403,86 @@ def test_microbatcher_malformed_request_fails_alone(captioner):
     t.join(timeout=30)
     mb.close()
     assert len(results["good"]) == 1 and isinstance(results["good"][0], str)
+
+
+# ---- unified Pallas capability guard (round-5: serving == eval) ----
+
+def test_pallas_supported_predicate(monkeypatch):
+    """decoding.pallas_supported is the ONE guard both serving and eval
+    consume: whole-decode for GRU and LSTM at n_layers=1, the beam
+    projection+top-K for any cell type, and nothing off-TPU."""
+    from recnet_tpu.decoding import pallas_supported
+    from recnet_tpu.models.decoder import DecoderConfig
+
+    def cfg(cell, layers=1):
+        return DecoderConfig(cell_type=cell, n_layers=layers, vocab_size=11,
+                             embedding_size=12, encoder_size=32,
+                             hidden_size=16, attn_size=8)
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert pallas_supported(cfg("GRU"), "greedy_whole")
+    assert pallas_supported(cfg("LSTM"), "greedy_whole")
+    assert not pallas_supported(cfg("GRU", layers=2), "greedy_whole")
+    assert pallas_supported(cfg("GRU"), "beam_topk")
+    assert pallas_supported(cfg("LSTM"), "beam_topk")
+    assert pallas_supported(cfg("LSTM", layers=2), "beam_topk")
+    with pytest.raises(ValueError):
+        pallas_supported(cfg("GRU"), "nonsense")
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
+    assert not pallas_supported(cfg("GRU"), "greedy_whole")
+    assert not pallas_supported(cfg("GRU"), "beam_topk")
+
+
+@pytest.mark.parametrize("cell_type", ["GRU", "LSTM"])
+def test_captioner_pallas_routing_matches_eval_guard(
+        tmp_path_factory, monkeypatch, cell_type):
+    """--use_pallas on an LSTM checkpoint must take the whole-decode kernel
+    for greedy AND the (cell-agnostic) top-K kernel for beam — the same
+    routes evaluation.decode_batch takes (round-4 verdict: serving's
+    GRU-only guard silently meant less than eval's)."""
+    import types
+
+    import jax.numpy as jnp
+
+    from recnet_tpu import decoding as dec
+    from recnet_tpu import serving as srv
+
+    root = str(tmp_path_factory.mktemp(f"msvd_guard_{cell_type}"))
+    make_msvd_fixture(root)
+    tc = tiny_train_config(root, decoder_model=cell_type)
+    corpus = Corpus(tc)
+    state, _, _ = init_train_state(jax.random.PRNGKey(0), tc,
+                                   corpus.vocab.n_vocabs)
+    cap = Captioner(tc, corpus.vocab, state.dec_params, dtype="float32",
+                    batch_size=4, use_pallas=True)
+    assert cap.dcfg.cell_type == cell_type
+
+    called = {}
+
+    def fake_whole(params, dcfg, videos, max_len, **kw):
+        called["greedy"] = "whole"
+        return types.SimpleNamespace(
+            tokens=jnp.zeros((max_len + 1, videos.shape[0]), jnp.int32),
+            n_steps=jnp.asarray(max_len + 1, jnp.int32))
+
+    def fake_beam(params, dcfg, videos, K, max_len, **kw):
+        called["beam_topk"] = kw.get("use_pallas_topk")
+        return types.SimpleNamespace(
+            tokens=jnp.zeros((videos.shape[0], max_len + 1), jnp.int32),
+            n_steps=jnp.asarray(max_len + 1, jnp.int32),
+            scores=jnp.zeros((videos.shape[0], K)))
+
+    monkeypatch.setattr(dec, "greedy_decode_whole", fake_whole)
+    monkeypatch.setattr(srv, "beam_decode", fake_beam)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+
+    rng = np.random.default_rng(5)
+    feats = [rng.standard_normal((8, 32)).astype(np.float32)
+             for _ in range(3)]
+    cap.caption(feats)
+    assert called.get("greedy") == "whole", \
+        f"{cell_type} serving fell back to the XLA greedy path"
+    cap.caption(feats, beam_width=2)
+    assert called.get("beam_topk") is True, \
+        f"{cell_type} beam serving lost the top-K kernel"
