@@ -34,6 +34,8 @@ from http.server import (BaseHTTPRequestHandler, HTTPServer,
 
 import numpy as np
 
+from recnet_tpu.serving import DeadlineExceeded, ServiceOverloaded
+
 
 def make_handler(captioner, model_id: str):
     """``captioner`` is anything with .caption(feats, beam_width) — the
@@ -55,7 +57,9 @@ def make_handler(captioner, model_id: str):
                 payload = {"ok": True, "model": model_id}
                 for attr, name in (("n_requests", "requests"),
                                    ("n_dispatches", "dispatches"),
-                                   ("n_coalesced", "coalesced")):
+                                   ("n_coalesced", "coalesced"),
+                                   ("n_rejected", "rejected"),
+                                   ("n_expired", "expired")):
                     if hasattr(captioner, attr):
                         payload[name] = getattr(captioner, attr)
                 return self._reply(200, payload)
@@ -78,6 +82,11 @@ def make_handler(captioner, model_id: str):
                 captions = captioner.caption(
                     feats, beam_width=int(beam) if beam else None)
                 return self._reply(200, {"captions": captions})
+            except ServiceOverloaded as e:
+                # bounded-queue shed: the client should back off and retry
+                return self._reply(503, {"error": str(e)})
+            except DeadlineExceeded as e:
+                return self._reply(504, {"error": str(e)})
             except (KeyError, ValueError, TypeError) as e:
                 return self._reply(400, {"error": str(e)})
             except Exception as e:  # noqa: BLE001 — a runtime failure must
@@ -109,6 +118,14 @@ def main(argv=None):
     a.add_argument("--flush_ms", type=float, default=6.0,
                    help="micro-batch flush window: how long a dispatch "
                         "waits for concurrent requests to coalesce")
+    a.add_argument("--max_queue", type=int, default=0,
+                   help="bound on requests waiting for dispatch; when "
+                        "full, new requests get HTTP 503 instead of "
+                        "growing latency without limit (0 = unbounded)")
+    a.add_argument("--deadline_s", type=float, default=0.0,
+                   help="per-request wall budget from enqueue; requests "
+                        "still queued past it get HTTP 504 and never "
+                        "reach the device (0 = no deadline)")
     a.add_argument("--beam_length_margin", type=int, default=-1,
                    help="OPT-IN approximate beam cutoff: stop this many "
                         "steps after every beam candidate has a first "
@@ -143,10 +160,14 @@ def main(argv=None):
         mode = "sequential"
     else:
         from recnet_tpu.serving import MicroBatcher
-        front = MicroBatcher(cap, flush_ms=args.flush_ms)
+        front = MicroBatcher(cap, flush_ms=args.flush_ms,
+                             max_queue=args.max_queue or None,
+                             deadline_s=args.deadline_s or None)
         server = ThreadingHTTPServer((args.host, args.port),
                                      make_handler(front, cap.tc.id))
-        mode = f"micro-batched (flush {args.flush_ms}ms)"
+        mode = (f"micro-batched (flush {args.flush_ms}ms, "
+                f"max_queue {args.max_queue or 'inf'}, "
+                f"deadline {args.deadline_s or 'none'})")
     print(f"serving {cap.tc.id} on http://{args.host}:{args.port} [{mode}]")
     server.serve_forever()
 

@@ -179,6 +179,17 @@ class Captioner:
         return b
 
 
+class ServiceOverloaded(RuntimeError):
+    """The MicroBatcher queue is full — the service is past capacity and
+    sheds this request instead of growing latency without bound. HTTP
+    layer maps this to 503 (cli/serve.py)."""
+
+
+class DeadlineExceeded(TimeoutError):
+    """The request did not complete within the MicroBatcher's per-request
+    deadline. HTTP layer maps this to 504 (cli/serve.py)."""
+
+
 class MicroBatcher:
     """Coalesce concurrent caption requests into shared device batches.
 
@@ -197,22 +208,52 @@ class MicroBatcher:
     N concurrent clients approaches the single-batch number instead of
     N sequential small-bucket decodes. (No reference counterpart — the
     reference has no serving at all.)
+
+    Overload contract (round-5): real deployments are defined by what
+    happens when arrival rate exceeds device throughput, so both knobs
+    below BOUND the failure mode instead of queueing forever:
+
+    * ``max_queue`` — maximum requests waiting for dispatch. When full,
+      ``caption()`` raises :class:`ServiceOverloaded` immediately in the
+      caller's thread (→ HTTP 503); queue depth and memory stay bounded.
+    * ``deadline_s`` — per-request wall budget measured from enqueue.
+      A request still QUEUED past its deadline is failed with
+      :class:`DeadlineExceeded` (→ HTTP 504) and never reaches the device
+      (no wasted decode work for a caller that gave up); the waiting
+      caller also enforces the deadline on its Future, so a wedged device
+      call cannot block it forever. A request whose dispatch is already
+      in flight at deadline time still delivers if the decode finishes
+      within ~1 flush window of the deadline.
+    * ``close()`` — stops intake (new calls raise RuntimeError), lets the
+      dispatch thread drain everything already queued, and — if the
+      thread fails to exit within ``timeout`` (wedged device) — fails
+      every still-pending Future so no caller is left blocked.
     """
 
     def __init__(self, captioner: Captioner, flush_ms: float = 6.0,
-                 max_batch: Optional[int] = None):
+                 max_batch: Optional[int] = None,
+                 max_queue: Optional[int] = None,
+                 deadline_s: Optional[float] = None):
         import threading
 
         self.captioner = captioner
         self.flush_s = max(0.0, flush_ms) / 1000.0
         self.max_batch = max_batch or captioner.batch_size
+        if max_queue is not None and max_queue < 1:
+            raise ValueError("max_queue must be >= 1 (or None = unbounded)")
+        if deadline_s is not None and deadline_s <= 0:
+            raise ValueError("deadline_s must be > 0 (or None = no deadline)")
+        self.max_queue = max_queue
+        self.deadline_s = deadline_s
         self._cond = threading.Condition()
-        self._queue: List = []          # [(key, features, future), ...]
+        self._queue: List = []    # [(key, features, future, deadline), ...]
         self._closed = False
-        # observability: how much coalescing actually happens
+        # observability: coalescing + shed/expired counts for /healthz
         self.n_requests = 0
         self.n_dispatches = 0
         self.n_coalesced = 0            # dispatches that merged >1 request
+        self.n_rejected = 0             # shed at enqueue (queue full)
+        self.n_expired = 0              # failed queued past their deadline
         self._thread = threading.Thread(target=self._loop, daemon=True,
                                         name="recnet-microbatcher")
         self._thread.start()
@@ -220,8 +261,12 @@ class MicroBatcher:
     def caption(self, features: Sequence[np.ndarray],
                 beam_width: Optional[int] = None) -> List[str]:
         """Same contract as Captioner.caption, but safe to call from many
-        threads — requests are coalesced into shared device batches."""
+        threads — requests are coalesced into shared device batches.
+        Raises ServiceOverloaded when the queue is full and
+        DeadlineExceeded when deadline_s elapses first."""
+        import time as _time
         from concurrent.futures import Future
+        from concurrent.futures import TimeoutError as _FutTimeout
 
         features = list(features)
         # reject malformed requests HERE, in the offender's thread — once
@@ -231,22 +276,65 @@ class MicroBatcher:
         if validate is not None:
             validate(features)
 
+        deadline = (_time.monotonic() + self.deadline_s
+                    if self.deadline_s else None)
         fut: Future = Future()
         with self._cond:
             if self._closed:
                 raise RuntimeError("MicroBatcher is closed")
-            self._queue.append((beam_width, features, fut))
+            if (self.max_queue is not None
+                    and len(self._queue) >= self.max_queue):
+                self.n_rejected += 1
+                raise ServiceOverloaded(
+                    f"request queue full ({self.max_queue} waiting); "
+                    "retry with backoff")
+            self._queue.append((beam_width, features, fut, deadline))
             self.n_requests += 1
             self._cond.notify()
-        return fut.result()
+        if deadline is None:
+            return fut.result()
+        # the dispatch thread fails QUEUED requests at their deadline; the
+        # extra flush window + 50 ms here only covers the in-flight case
+        # (dispatched but wedged) so the caller can never block forever
+        try:
+            return fut.result(
+                timeout=self.deadline_s + self.flush_s + 0.05)
+        except _FutTimeout:
+            raise DeadlineExceeded(
+                f"request not completed within {self.deadline_s}s") from None
 
-    def close(self):
+    def close(self, timeout: float = 10.0):
+        """Stop intake, drain the queue, unblock anyone still waiting."""
         with self._cond:
             self._closed = True
             self._cond.notify()
-        self._thread.join(timeout=10)
+        self._thread.join(timeout=timeout)
+        # a wedged device call can outlive the join timeout — fail whatever
+        # is still queued so no caller waits on a thread that will never
+        # deliver (the in-flight group's futures are failed/fulfilled by
+        # the dispatch thread itself if it ever returns)
+        with self._cond:
+            leftovers, self._queue = self._queue, []
+        for _, _, fut, _ in leftovers:
+            if not fut.done():
+                fut.set_exception(
+                    RuntimeError("MicroBatcher closed before dispatch"))
 
     # ---- dispatch thread ----
+
+    def _expire_locked(self, now: float) -> None:
+        """Drop queued requests past their deadline (caller holds _cond)."""
+        live = []
+        for item in self._queue:
+            deadline = item[3]
+            if deadline is not None and now >= deadline:
+                self.n_expired += 1
+                if not item[2].done():
+                    item[2].set_exception(DeadlineExceeded(
+                        f"queued past the {self.deadline_s}s deadline"))
+            else:
+                live.append(item)
+        self._queue = live
 
     def _loop(self):
         import time as _time
@@ -260,10 +348,13 @@ class MicroBatcher:
             if self.flush_s:
                 _time.sleep(self.flush_s)   # let concurrent requests arrive
             with self._cond:
+                self._expire_locked(_time.monotonic())
+                if not self._queue:
+                    continue
                 key = self._queue[0][0]
                 group, keep, total = [], [], 0
                 for item in self._queue:
-                    k, feats, fut = item
+                    k, feats, fut, _deadline = item
                     fits = total + len(feats) <= self.max_batch
                     # an oversized lone request still dispatches (caption()
                     # chunks internally); everything else respects the cap

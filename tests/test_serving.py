@@ -486,3 +486,187 @@ def test_captioner_pallas_routing_matches_eval_guard(
     cap.caption(feats, beam_width=2)
     assert called.get("beam_topk") is True, \
         f"{cell_type} beam serving lost the top-K kernel"
+
+
+# ---- overload behavior: bounded queue + deadlines (round-5) ----
+
+class _SlowCap:
+    """Stand-in device: fixed per-dispatch delay, counts calls."""
+
+    def __init__(self, delay_s: float, batch_size: int = 64):
+        self.delay_s = delay_s
+        self.batch_size = batch_size
+        self.calls = 0
+
+    def validate_features(self, feats):
+        pass
+
+    def caption(self, feats, beam_width=None):
+        import time
+        self.calls += 1
+        time.sleep(self.delay_s)
+        return ["cap"] * len(feats)
+
+
+def test_microbatcher_sheds_when_queue_full():
+    """Arrival rate >> device throughput: the bounded queue rejects with
+    ServiceOverloaded instead of growing latency/memory without limit."""
+    import threading
+    import time
+
+    from recnet_tpu.serving import MicroBatcher, ServiceOverloaded
+
+    cap = _SlowCap(delay_s=0.25, batch_size=2)   # tiny batches: slow drain
+    mb = MicroBatcher(cap, flush_ms=20.0, max_batch=2, max_queue=2)
+    ok, shed = [], []
+    lock = threading.Lock()
+
+    def client(i):
+        try:
+            r = mb.caption([np.zeros((4, 8), np.float32)])
+            with lock:
+                ok.append((i, r))
+        except ServiceOverloaded:
+            with lock:
+                shed.append(i)
+
+    t0 = time.monotonic()
+    threads = [threading.Thread(target=client, args=(i,)) for i in range(12)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=30)
+    wall = time.monotonic() - t0
+    mb.close()
+    assert shed, "queue bound never triggered under 12x overload"
+    assert ok, "no request succeeded"
+    assert len(ok) + len(shed) == 12
+    assert mb.n_rejected == len(shed)
+    # bounded latency: at most (in-flight + max_queue accepted waves) of
+    # 0.25 s dispatches each — nowhere near 12 sequential waves
+    assert wall < 12 * 0.25, f"latency unbounded: {wall:.2f}s"
+
+
+def test_microbatcher_deadline_fails_queued_requests():
+    """Requests still queued past deadline_s get DeadlineExceeded and
+    never consume device work."""
+    import threading
+
+    from recnet_tpu.serving import DeadlineExceeded, MicroBatcher
+
+    # 0.15 s/dispatch at 1 video/batch vs a 0.4 s deadline: the first ~2
+    # dispatches fit the deadline, everything queued behind them expires
+    cap = _SlowCap(delay_s=0.15, batch_size=1)
+    mb = MicroBatcher(cap, flush_ms=5.0, max_batch=1, deadline_s=0.4)
+    results = {}
+
+    def client(i):
+        try:
+            results[i] = mb.caption([np.zeros((4, 8), np.float32)])
+        except DeadlineExceeded:
+            results[i] = "deadline"
+
+    threads = [threading.Thread(target=client, args=(i,)) for i in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=30)
+    calls_at_drain = cap.calls
+    mb.close()
+    expired = [i for i, r in results.items() if r == "deadline"]
+    served = [i for i, r in results.items() if isinstance(r, list)]
+    assert len(results) == 6, "a caller blocked forever"
+    assert expired, "nothing expired despite 0.9s total work vs 0.4s deadline"
+    assert served, "the first dispatch fits the deadline and must deliver"
+    # queue-expired requests never reach the device: dispatches = served
+    # plus at most one in-flight call whose caller timed out mid-decode
+    assert calls_at_drain <= len(served) + 1
+
+
+def test_microbatcher_close_unblocks_queued_waiters():
+    """close() with a wedged device must fail still-queued Futures so no
+    caller blocks forever (the drain-on-close contract)."""
+    import threading
+    import time
+
+    from recnet_tpu.serving import MicroBatcher
+
+    cap = _SlowCap(delay_s=2.0, batch_size=1)    # wedged vs close timeout
+    mb = MicroBatcher(cap, flush_ms=5.0, max_batch=1)
+    results = {}
+
+    def client(i):
+        try:
+            results[i] = mb.caption([np.zeros((4, 8), np.float32)])
+        except RuntimeError as e:
+            results[i] = f"closed: {e}"
+
+    threads = [threading.Thread(target=client, args=(i,)) for i in range(3)]
+    for t in threads:
+        t.start()
+    time.sleep(0.15)             # first dispatch in flight, 2 queued
+    t0 = time.monotonic()
+    mb.close(timeout=0.3)        # far shorter than the wedged 2 s call
+    assert time.monotonic() - t0 < 1.5
+    for t in threads:
+        t.join(timeout=10)
+    assert len(results) == 3, f"caller left blocked: {results}"
+    assert any(str(r).startswith("closed") for r in results.values())
+
+
+def test_http_overload_returns_503_with_bounded_latency():
+    """Over-capacity over REAL HTTP: sustained arrival > throughput yields
+    a mix of 200s and 503s, bounded wall time, and /healthz reports the
+    shed count (VERDICT r4: deployments are defined by overload)."""
+    import json
+    import threading
+    import time
+    import urllib.error
+    import urllib.request
+    from http.server import ThreadingHTTPServer
+
+    from recnet_tpu.cli.serve import make_handler
+    from recnet_tpu.serving import MicroBatcher
+
+    cap = _SlowCap(delay_s=0.2, batch_size=1)
+    mb = MicroBatcher(cap, flush_ms=10.0, max_batch=1, max_queue=2)
+    server = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(mb, "test"))
+    port = server.server_address[1]
+    st = threading.Thread(target=server.serve_forever, daemon=True)
+    st.start()
+    try:
+        body = json.dumps(
+            {"features": [np.zeros((4, 8)).tolist()]}).encode()
+        codes = []
+        lock = threading.Lock()
+
+        def client():
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/caption", data=body,
+                headers={"Content-Type": "application/json"})
+            try:
+                with urllib.request.urlopen(req, timeout=20) as r:
+                    with lock:
+                        codes.append(r.status)
+            except urllib.error.HTTPError as e:
+                with lock:
+                    codes.append(e.code)
+
+        t0 = time.monotonic()
+        threads = [threading.Thread(target=client) for _ in range(10)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=30)
+        wall = time.monotonic() - t0
+        h = json.loads(urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/healthz", timeout=10).read())
+    finally:
+        server.shutdown()
+        mb.close()
+    assert len(codes) == 10
+    assert codes.count(503) >= 1, f"no shed under 10x overload: {codes}"
+    assert codes.count(200) >= 1, f"nothing served: {codes}"
+    assert codes.count(200) + codes.count(503) == 10
+    assert h["rejected"] == codes.count(503)
+    assert wall < 10 * 0.2, f"overload latency unbounded: {wall:.2f}s"
