@@ -163,7 +163,7 @@ def _measure_single(batch: int, path: str, block_b: int) -> None:
         rounds, n_iters = 2, 3
     else:
         rounds, n_iters = 4, 5
-    best = 0.0
+    rates = []
     for _attempt in range(rounds):  # best-of-N: the tunnel swings ~1.7x
                                     # between phases (NOTES.md)
         t0 = time.perf_counter()
@@ -173,19 +173,83 @@ def _measure_single(batch: int, path: str, block_b: int) -> None:
         for r in results:
             np.asarray(r.tokens)
         dt = time.perf_counter() - t0
-        best = max(best, batch * n_iters / dt)
+        rates.append(batch * n_iters / dt)
         _log(f"[child {path}/B={batch}] round: {dt:.1f}s for {n_iters} "
-             f"calls -> {batch * n_iters / dt:,.0f} captions/s")
-    print(json.dumps({"captions_per_sec": best,
-                      "device": str(jax.devices()[0])}))
+             f"calls -> {rates[-1]:,.0f} captions/s")
+    # ship every round, not only the best: a single best value can't be
+    # told apart from a noisy tunnel phase after the fact (VERDICT r4
+    # weak #2) — the parent folds these into the final artifact
+    srt = sorted(rates)
+    print(json.dumps({
+        "captions_per_sec": srt[-1],
+        "median": srt[len(srt) // 2],
+        "rounds": [round(r, 1) for r in rates],
+        "device": str(jax.devices()[0])}))
 
 
-def _result_line(best: float, best_att, device: str) -> str:
+def _load_prior():
+    """Newest driver-recorded BENCH_r*.json → (round_n, value) or None.
+
+    The round-4 headline drifted -3.8% vs round 3 with nothing in the
+    artifact saying whether that was the shared chip's phase noise or a
+    real regression; every run now compares itself against the previous
+    round's recorded number so the delta (and a noise verdict) lives IN
+    the artifact."""
+    import glob
+    import re
+
+    newest = None
+    for p in glob.glob(os.path.join(REPO, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if not m:
+            continue
+        try:
+            with open(p) as f:
+                # "parsed" is null in rounds where the run was killed
+                # before a line landed (BENCH_r02)
+                v = (json.load(f).get("parsed") or {}).get("value")
+        except (OSError, ValueError):
+            continue
+        if v:
+            n = int(m.group(1))
+            if newest is None or n > newest[0]:
+                newest = (n, float(v))
+    return newest
+
+
+def _result_line(best: float, best_att, device: str,
+                 summaries=None, prior=None) -> str:
     detail = {"decode_steps": 31, "vocab": 4188, "dtype": "bfloat16",
               "device": device}
     if best_att:
         detail["batch_size"] = best_att["batch"]
         detail["path"] = best_att["path"]
+    # per-attempt distributions: every measured round per (path, batch),
+    # so the artifact itself carries the variance a regression check needs
+    if summaries:
+        detail["attempts"] = summaries
+    if prior is not None and best_att is not None:
+        prior_round, prior_value = prior
+        delta = best / prior_value - 1.0
+        cmp = {"round": prior_round, "value": prior_value,
+               "delta_pct": round(100.0 * delta, 1)}
+        # phase-noise band: twice the best attempt's within-run spread,
+        # floored at the ±4% swing observed across r03/r04 on this shared
+        # chip (NOTES.md); drops beyond it are flagged as regressions
+        key = (f"{best_att['path']}/B={best_att['batch']}"
+               if best_att else "")
+        rounds = (summaries or {}).get(key, {}).get("rounds", [])
+        spread = ((max(rounds) - min(rounds)) / max(rounds)
+                  if len(rounds) > 1 else 0.0)
+        band = max(0.08, 2.0 * spread)
+        cmp["noise_band_pct"] = round(100.0 * band, 1)
+        if delta < -band:
+            cmp["verdict"] = "REGRESSION: drop exceeds the phase-noise band"
+        elif delta > band:
+            cmp["verdict"] = "improved beyond the phase-noise band"
+        else:
+            cmp["verdict"] = "within phase noise of the prior round"
+        detail["vs_prior"] = cmp
     return json.dumps({
         "metric": "captions_per_sec_greedy",
         "value": round(best, 1),
@@ -207,6 +271,8 @@ def main():
                    os.path.join(REPO, ".jax_cache"))
 
     best, best_att, device = 0.0, None, "?"
+    summaries = {}
+    prior = _load_prior()
     for i, att in enumerate(ATTEMPTS):
         remaining = deadline - time.time()
         if best > 0 and remaining < 60:
@@ -232,6 +298,16 @@ def main():
                 text=True, timeout=window)            # through to ours live
             line = proc.stdout.strip().splitlines()[-1] if proc.stdout else ""
             out = json.loads(line)
+            key = f"{att['path']}/B={att['batch']}"
+            summ = {"best": round(out["captions_per_sec"], 1)}
+            if out.get("rounds"):
+                summ["rounds"] = out["rounds"]
+                summ["median"] = round(out.get(
+                    "median", out["captions_per_sec"]), 1)
+            # a retried shape keeps its better attempt
+            if (key not in summaries
+                    or summ["best"] > summaries[key]["best"]):
+                summaries[key] = summ
             if out["captions_per_sec"] > best:
                 best, best_att, device = (out["captions_per_sec"], att,
                                           out["device"])
@@ -243,10 +319,11 @@ def main():
         # parses the tail, so an external kill after this point still
         # captures everything measured so far (VERDICT r2 item 1)
         if best > 0:
-            print(_result_line(best, best_att, device), flush=True)
+            print(_result_line(best, best_att, device, summaries, prior),
+                  flush=True)
 
     # final line: overall best (or an explicit zero record)
-    print(_result_line(best, best_att, device), flush=True)
+    print(_result_line(best, best_att, device, summaries, prior), flush=True)
 
 
 if __name__ == "__main__":

@@ -146,3 +146,56 @@ def test_every_completed_attempt_streams_a_line(monkeypatch, capsys):
     # 5 attempts + 1 final summary
     assert len(parsed) == len(bench.ATTEMPTS) + 1
     assert parsed[-1]["value"] == parsed[-2]["value"] == 189000.0
+
+
+def test_artifact_carries_round_distributions_and_prior_delta(
+        monkeypatch, capsys):
+    """Round-5 regression-proofing: the final JSON must carry every
+    measured round per (path, batch) and a delta vs the previous driver
+    artifact, with a phase-noise verdict — a bare best value can't be told
+    apart from a noisy tunnel phase (VERDICT r4 weak #2)."""
+    rates = {1024: 30000.0, 4096: 80000.0, 16384: 150000.0,
+             32768: 182000.0, 49152: 189000.0}
+
+    def fake_run(cmd, **kw):
+        code = cmd[-1]
+        batch = int(code.split("(")[1].split(",")[0])
+        r = rates[batch]
+        return _FakeProc(json.dumps(
+            {"captions_per_sec": r, "median": r * 0.98,
+             "rounds": [r * 0.97, r * 0.98, r, r * 0.99],
+             "device": "TPU v5 lite0"}))
+
+    monkeypatch.setattr(bench, "_load_prior", lambda: (4, 190098.3))
+    out = _run_main(monkeypatch, capsys, fake_run)
+    att = out["detail"]["attempts"]
+    assert "pallas_whole/B=49152" in att and "xla_unroll4/B=1024" in att
+    assert len(att["pallas_whole/B=49152"]["rounds"]) == 4
+    assert att["pallas_whole/B=49152"]["median"] == round(189000.0 * 0.98, 1)
+    cmp = out["detail"]["vs_prior"]
+    assert cmp["round"] == 4 and cmp["value"] == 190098.3
+    assert cmp["delta_pct"] == -0.6
+    assert cmp["verdict"].startswith("within phase noise")
+
+
+def test_drop_beyond_noise_band_is_flagged_as_regression(
+        monkeypatch, capsys):
+    def fake_run(cmd, **kw):
+        return _FakeProc(json.dumps(
+            {"captions_per_sec": 120000.0, "median": 119000.0,
+             "rounds": [119000.0, 120000.0], "device": "TPU v5 lite0"}))
+
+    monkeypatch.setattr(bench, "_load_prior", lambda: (4, 190098.3))
+    out = _run_main(monkeypatch, capsys, fake_run)
+    cmp = out["detail"]["vs_prior"]
+    assert cmp["delta_pct"] < -30
+    assert cmp["verdict"].startswith("REGRESSION")
+
+
+def test_load_prior_reads_newest_driver_artifact():
+    """On this checkout _load_prior must find BENCH_r04.json (190,098.3)
+    and skip the killed-run r02 whose parsed field is null."""
+    prior = bench._load_prior()
+    assert prior is not None
+    n, v = prior
+    assert n >= 4 and v > 0
