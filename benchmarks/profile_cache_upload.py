@@ -53,6 +53,13 @@ def main():
                      ("float16", np.float16)):
         host = base.astype(dt)
         mib = host.nbytes / 2**20
+        # untimed warmup at the FULL shape (jit caches per shape+dtype):
+        # the probe's compile must not land inside the first timed repeat —
+        # with --repeats 1 it inflated the reported best by the whole
+        # compile (ADVICE r4; the "118 s first attempt" NOTES artifact)
+        warm = jax.device_put(host)
+        float(np.asarray(probe(warm)))
+        del warm
         times = []
         for _ in range(args.repeats):
             t0 = time.time()

@@ -38,6 +38,11 @@ def _config(args):
         kw["caption_max_len"] = args.caption_max_len
     if args.bundle_root:
         kw["data_bundle_root"] = args.bundle_root
+    if args.feature_cache_dtype:
+        # half-width storage is keyed: an offline build for a bf16-cache
+        # training config must pass the same dtype to address that bundle
+        kw["device_feature_cache"] = True
+        kw["feature_cache_dtype"] = args.feature_cache_dtype
     return TrainConfig(**kw)
 
 
@@ -71,6 +76,11 @@ def main(argv=None) -> int:
     a.add_argument("--encoder_output_len", type=int, default=None)
     a.add_argument("--min_count", type=int, default=None)
     a.add_argument("--caption_max_len", type=int, default=None)
+    a.add_argument("--feature_cache_dtype", type=str, default=None,
+                   choices=["float32", "bfloat16", "float16"],
+                   help="build the bundle for a device-feature-cache "
+                        "config with this storage dtype (train/val packed "
+                        "half-width; test stays float32)")
     a.add_argument("--path", type=str, default=None,
                    help="info: inspect this bundle dir directly instead of "
                         "resolving the config's keyed directory")

@@ -10,10 +10,17 @@ A bundle is a versioned on-disk artifact keyed on a hash of every input file's
 (size, mtime) plus every config knob that shapes preprocessing. It contains,
 per split:
 
-* ``{split}_feats.npy``    — (V, frames, feat) float32, the frame pipeline
-  already applied (uniform sampling only — it is deterministic; stochastic
+* ``{split}_feats.npy``    — (V, frames, feat), the frame pipeline already
+  applied (uniform sampling only — it is deterministic; stochastic
   sampling would be frozen by a cache and is rejected, same rule as
-  ``config.device_feature_cache``);
+  ``config.device_feature_cache``). train/val are stored in the config's
+  ``feature_cache_dtype`` when the device feature cache is on (round 5):
+  the cast the training loop would do per start is done ONCE at build, so
+  a bfloat16 cache mmaps ~half the bytes and uploads straight to HBM with
+  no host-side cast — same "f32 compute on once-rounded features" contract
+  (the jitted steps widen gathered rows, training/step.py _gather_f32).
+  test features stay float32 always: eval decodes them directly and the
+  metric scores must not move with a cache knob;
 * ``{split}_rows.npy``     — (N,) int32 pair→feature-row map;
 * ``{split}_captions.npy`` — (N, max_sentence_len+1) int32 tokenized/padded
   caption matrix (the caption pipeline already applied);
@@ -43,8 +50,31 @@ from recnet_tpu.data import datasets as D
 from recnet_tpu.data import transforms as T
 from recnet_tpu.data.vocab import Vocab
 
-BUNDLE_VERSION = 1
+BUNDLE_VERSION = 2
 SPLITS = ("train", "val", "test")
+
+# the npy format doesn't round-trip ml_dtypes names (bfloat16 loads back
+# as the void '|V2'), so the stored dtype is recorded in meta.json and the
+# mmap is re-viewed on load
+_STORE_DTYPES = {"float32": np.float32, "float16": np.float16}
+
+
+def _store_dtype(name: str) -> np.dtype:
+    if name == "bfloat16":
+        import ml_dtypes
+        return np.dtype(ml_dtypes.bfloat16)
+    return np.dtype(_STORE_DTYPES[name])
+
+
+def feature_store_dtype(tc, split: str) -> str:
+    """Storage dtype for a split's packed features. train/val follow
+    feature_cache_dtype when the device cache is on — they are only ever
+    consumed through that cache then, so pre-casting at build is the same
+    single rounding the loop would apply. test stays float32 (decoded
+    directly; scores must not move with a cache knob)."""
+    if split == "test" or not getattr(tc, "device_feature_cache", False):
+        return "float32"
+    return getattr(tc, "feature_cache_dtype", "float32")
 
 
 # ---------------------------------------------------------------------------
@@ -80,6 +110,11 @@ def bundle_key(tc) -> str:
         "frame_sampling_method": tc.frame_sampling_method,
         "encoder_output_len": tc.encoder_output_len,
         "init_word2idx": sorted(tc.init_word2idx_dict.items()),
+        # half-width feature storage is keyed, so a config switching
+        # feature_cache_dtype (or toggling the device cache) addresses a
+        # different bundle instead of silently reusing the wrong rounding
+        "feature_store_dtype": {s: feature_store_dtype(tc, s)
+                                for s in SPLITS},
         "files": [_file_stat(p) for p in inputs],
     }
     return hashlib.sha256(
@@ -185,6 +220,8 @@ def _build_split(tc, split: str, vocab: Vocab, out_dir: str,
                 if tc.corpus == "MSVD"
                 else D.load_msrvtt_captions(tc.caption_fpath(split)))
 
+    dtype_name = feature_store_dtype(tc, split)
+    store_dt = _store_dtype(dtype_name)
     feats: Optional[np.ndarray] = None
     vids: List[str] = []
     with h5py.File(tc.video_fpath(split), "r") as fin:
@@ -195,11 +232,16 @@ def _build_split(tc, split: str, vocab: Vocab, out_dir: str,
             if feats is None:
                 feats = np.lib.format.open_memmap(
                     os.path.join(out_dir, f"{split}_feats.npy"), mode="w+",
-                    dtype=np.float32, shape=(len(keys),) + x.shape)
+                    dtype=store_dt, shape=(len(keys),) + x.shape)
             if x.shape != feats.shape[1:]:
                 raise ValueError(
                     f"video {vid!r} has shape {x.shape}, expected "
                     f"{feats.shape[1:]}")
+            x = x.astype(store_dt)   # the loop's cast-once, done at build
+            if dtype_name == "float16" and not np.isfinite(x).all():
+                raise ValueError(
+                    f"video {vid!r} overflows float16 (±65504); use "
+                    "feature_cache_dtype='bfloat16' (keeps f32 range)")
             feats[i] = x
             vids.append(vid)
     if feats is None:
@@ -224,7 +266,8 @@ def _build_split(tc, split: str, vocab: Vocab, out_dir: str,
         json.dump(vids, f)
     with open(os.path.join(out_dir, f"{split}_raw_captions.json"), "w") as f:
         json.dump(raw, f)
-    return {"n_videos": len(vids), "n_pairs": len(raw)}
+    return {"n_videos": len(vids), "n_pairs": len(raw),
+            "feats_dtype": dtype_name}
 
 
 def build_bundle(tc, path: Optional[str] = None,
@@ -304,6 +347,13 @@ def load_bundle(path: str) -> Bundle:
     for split in SPLITS:
         feats = np.load(os.path.join(path, f"{split}_feats.npy"),
                         mmap_mode="r")
+        # the npy header can't name ml_dtypes (bfloat16 reads back as the
+        # 2-byte void '|V2'); re-view through the dtype meta.json recorded
+        # — a zero-copy view, the mmap stays lazy
+        dtype_name = meta["splits"][split].get("feats_dtype", "float32")
+        want = _store_dtype(dtype_name)
+        if feats.dtype != want:
+            feats = feats.view(want)
         rows = np.load(os.path.join(path, f"{split}_rows.npy"))
         captions = np.load(os.path.join(path, f"{split}_captions.npy"))
         with open(os.path.join(path, f"{split}_vids.json")) as f:

@@ -125,11 +125,31 @@ def train(tc: TrainConfig, debug: bool = False, loss_only: bool = False,
 
     use_cache = bool(getattr(tc, "device_feature_cache", False))
     cache_dtype = jnp.dtype(cache_dt_name)
+    if cache_dt_name != "float32" and not use_cache:
+        # the knob only shapes the device caches — without them it would
+        # silently do nothing (ADVICE r4)
+        import warnings
+        warnings.warn(
+            f"feature_cache_dtype={cache_dt_name!r} has no effect because "
+            "device_feature_cache is off; enable the cache or drop the "
+            "knob", stacklevel=2)
 
     def as_cache_dtype(x):
         # half-width storage halves the upload + HBM residency; the jitted
-        # steps widen gathered rows back to f32 (step.py _gather_f32)
-        return x if x.dtype == cache_dtype else x.astype(cache_dtype)
+        # steps widen gathered rows back to f32 (step.py _gather_f32).
+        # Bundles built under the same config already store this dtype
+        # (bundle.feature_store_dtype), making the cast a no-op here.
+        if x.dtype == cache_dtype:
+            return x
+        out = x.astype(cache_dtype)
+        if cache_dt_name == "float16" and not np.isfinite(out).all():
+            # f16 clips at ±65504 — an overflow here would NaN the loss
+            # with no pointer back to this cast (ADVICE r4); bf16 keeps
+            # the full f32 exponent range and cannot overflow
+            raise ValueError(
+                "feature_cache_dtype='float16' overflowed: features "
+                "exceed the f16 range (±65504); use 'bfloat16' instead")
+        return out
 
     if use_cache:
         if tc.frame_sampling_method != "uniform":

@@ -230,3 +230,123 @@ def test_bundle_build_replace_race_is_success(fixture_root, tmp_path,
     assert os.path.isdir(path)
     b = B.load_bundle(path)
     assert set(b.datasets) == {"train", "val", "test"}
+
+
+# ---- half-width feature storage (round 5) ----
+
+def test_halfwidth_bundle_stores_cache_dtype(fixture_root, tmp_path):
+    """With the device cache on and feature_cache_dtype='bfloat16', the
+    bundle stores train/val features pre-cast (half the disk + warm-start
+    page-in + a cast-free HBM upload) while TEST stays float32 — eval
+    decodes test features directly and scores must not move with a cache
+    knob. Values must equal the loop's own cast-once (astype bf16)."""
+    import ml_dtypes
+
+    bf16 = np.dtype(ml_dtypes.bfloat16)
+    tc = _tc(fixture_root, data_bundle=True, device_feature_cache=True,
+             feature_cache_dtype="bfloat16",
+             data_bundle_root=str(tmp_path / "bundles_bf16"))
+    tcf = tc.replace(feature_cache_dtype="float32")
+
+    bundled = Corpus(tc)
+    cache = bundled.train_dataset.feature_cache()
+    assert np.asarray(cache).dtype == bf16
+    assert bundled.val_dataset.feature_cache().dtype == bf16
+    # test/score features untouched by the knob
+    test_feats = bundled.test_dataset.feature_cache()
+    assert np.asarray(test_feats).dtype == np.float32
+    _, score_feats = bundled.score_dataset.get(0)
+    assert np.asarray(score_feats).dtype == np.float32
+
+    # bf16 on-disk bytes are half the f32 bundle's
+    p16 = B.bundle_dir(tc)
+    p32 = B.bundle_dir(tcf)
+    Corpus(tcf)  # build the f32 sibling
+    sz16 = os.path.getsize(os.path.join(p16, "train_feats.npy"))
+    sz32 = os.path.getsize(os.path.join(p32, "train_feats.npy"))
+    assert sz16 < 0.55 * sz32
+
+    # cast-once contract: bundle-stored bf16 == fresh f32 cast once
+    fresh = Corpus(tcf.replace(data_bundle=False))
+    want = fresh.train_dataset.feature_cache().astype(bf16)
+    np.testing.assert_array_equal(
+        np.asarray(cache).view(np.uint16), np.asarray(want).view(np.uint16))
+
+
+def test_halfwidth_bundle_key_tracks_dtype(fixture_root, tmp_path):
+    """feature_cache_dtype (and the cache toggle) must address DIFFERENT
+    bundles — reusing an f32 bundle for a bf16 config would silently skip
+    the rounding the contract promises."""
+    kw = dict(data_bundle=True,
+              data_bundle_root=str(tmp_path / "bundles_key"))
+    k_f32 = B.bundle_key(_tc(fixture_root, **kw))
+    k_bf16 = B.bundle_key(_tc(fixture_root, device_feature_cache=True,
+                              feature_cache_dtype="bfloat16", **kw))
+    k_cache_f32 = B.bundle_key(_tc(fixture_root, device_feature_cache=True,
+                                   **kw))
+    assert k_f32 != k_bf16
+    # cache on with default f32 storage = the plain f32 bundle
+    assert k_cache_f32 == k_f32
+    # bf16 dtype with the cache OFF stores f32 (knob inert) = same key
+    k_inert = B.bundle_key(_tc(fixture_root,
+                               feature_cache_dtype="bfloat16", **kw))
+    assert k_inert == k_f32
+
+
+def test_halfwidth_bundle_training_matches_fresh_bf16_cache(
+        fixture_root, tmp_path):
+    """End contract: training from a bf16 bundle == training fresh with
+    the bf16 device cache (the loop's astype) — bit-equal final params."""
+    import jax
+
+    from recnet_tpu.training.loop import train
+
+    kw = dict(n_iterations=2, log_every=2, validate_every=2, test_every=2,
+              save_every=2, use_recon=False, device_feature_cache=True,
+              feature_cache_dtype="bfloat16")
+    tc = _tc(fixture_root, **kw)
+    tcb = tc.replace(data_bundle=True,
+                     data_bundle_root=str(tmp_path / "bundles_train16"))
+    s1 = train(tc, loss_only=True, log_dir=str(tmp_path / "l1"),
+               save_dir=str(tmp_path / "c1"))
+    s2 = train(tcb, loss_only=True, log_dir=str(tmp_path / "l2"),
+               save_dir=str(tmp_path / "c2"))
+    for a, b in zip(jax.tree.leaves(s1.dec_params),
+                    jax.tree.leaves(s2.dec_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_f16_overflow_fails_loudly(fixture_root, tmp_path):
+    """float16 storage must refuse features beyond ±65504 at BUILD time
+    (ADVICE r4: a silent inf here NaNs the loss with no pointer back)."""
+    import shutil
+
+    import h5py
+
+    root = str(tmp_path / "bigfeat")
+    shutil.copytree(fixture_root, root)
+    tc = _tc(root, data_bundle=True, device_feature_cache=True,
+             feature_cache_dtype="float16",
+             data_bundle_root=str(tmp_path / "bundles_f16"))
+    # spike one video beyond the f16 range
+    with h5py.File(tc.video_fpath("train"), "r+") as f:
+        vid = list(f)[0]
+        x = np.asarray(f[vid])
+        x[0, 0] = 70000.0
+        del f[vid]
+        f[vid] = x
+    with pytest.raises(ValueError, match="float16"):
+        B.build_bundle(tc)
+
+
+def test_loop_warns_when_cache_dtype_is_inert(fixture_root, tmp_path):
+    """feature_cache_dtype != float32 with device_feature_cache off does
+    nothing — the loop must say so (ADVICE r4)."""
+    from recnet_tpu.training.loop import train
+
+    tc = _tc(fixture_root, n_iterations=2, log_every=2, validate_every=2,
+             test_every=2, save_every=2, use_recon=False,
+             feature_cache_dtype="bfloat16")
+    with pytest.warns(UserWarning, match="no effect"):
+        train(tc, loss_only=True, log_dir=str(tmp_path / "lw"),
+              save_dir=str(tmp_path / "cw"))
