@@ -33,6 +33,7 @@ def main():
     ndev = int(sys.argv[7])
     ckpt_backend = sys.argv[8] if len(sys.argv) > 8 else "npz"
     use_cache = len(sys.argv) > 9 and sys.argv[9] == "cache"
+    use_bundle = len(sys.argv) > 10 and sys.argv[10] == "bundle"
 
     os.environ["JAX_PLATFORMS"] = "cpu"
     flags = [f for f in os.environ.get("XLA_FLAGS", "").split()
@@ -65,6 +66,12 @@ def main():
         root, batch_size=8, n_iterations=4,
         log_every=2, validate_every=4, test_every=4, save_every=4,
         mesh_shape=mesh_shape, device_feature_cache=use_cache)
+    if use_bundle:
+        # shared-data_root pod: the primary packs the bundle, other ranks
+        # poll for the atomic rename (bundle.load_or_build) — the bundle
+        # root lives in the SHARED fixture dir so both ranks address it
+        tc = tc.replace(data_bundle=True,
+                        data_bundle_root=os.path.join(root, "bundles"))
 
     if ckpt_backend == "orbax":
         save_dir = os.path.join(os.path.dirname(out_dir.rstrip("/")),

@@ -350,3 +350,50 @@ def test_loop_warns_when_cache_dtype_is_inert(fixture_root, tmp_path):
     with pytest.warns(UserWarning, match="no effect"):
         train(tc, loss_only=True, log_dir=str(tmp_path / "lw"),
               save_dir=str(tmp_path / "cw"))
+
+
+# ---- multi-host load_or_build branches (round 5; unit level — the real
+# 2-process pod path is tests/test_multihost.py) ----
+
+def test_load_or_build_nonprimary_polls_for_primary(fixture_root, tmp_path,
+                                                    monkeypatch):
+    """rank!=0 with no bundle on disk: load_or_build must WAIT for the
+    primary's atomic rename instead of duplicating the build."""
+    import threading
+    import time
+
+    tc = _tc(fixture_root, data_bundle=True,
+             data_bundle_root=str(tmp_path / "bundles_poll"))
+    monkeypatch.setattr(B, "_process_index", lambda: 1)
+    real_sleep = time.sleep   # B.time IS this module — capture before patch
+    monkeypatch.setattr(B.time, "sleep",
+                        lambda s: real_sleep(min(s, 0.05)))
+
+    def primary():
+        real_sleep(0.3)   # the poller must actually enter its wait loop
+        B.build_bundle(tc, log=lambda m: None)
+
+    t = threading.Thread(target=primary)
+    t.start()
+    logs = []
+    b = B.load_or_build(tc, log=logs.append, build_wait_s=60.0)
+    t.join(timeout=30)
+    assert any("waiting for primary" in m for m in logs)
+    assert not any("building locally" in m for m in logs)
+    assert set(b.datasets) == {"train", "val", "test"}
+    assert len(b.datasets["train"]) > 0
+
+
+def test_load_or_build_timeout_falls_back_to_local_build(
+        fixture_root, tmp_path, monkeypatch):
+    """rank!=0 whose primary never delivers (crashed, or data_root is not
+    shared storage): after build_wait_s the poller builds locally —
+    build_bundle is atomic/concurrency-safe so this is always sound."""
+    tc = _tc(fixture_root, data_bundle=True,
+             data_bundle_root=str(tmp_path / "bundles_timeout"))
+    monkeypatch.setattr(B, "_process_index", lambda: 1)
+    logs = []
+    b = B.load_or_build(tc, log=logs.append, build_wait_s=0.0)
+    assert any("building locally" in m for m in logs)
+    assert set(b.datasets) == {"train", "val", "test"}
+    assert os.path.isdir(B.bundle_dir(tc))
