@@ -222,14 +222,28 @@ def main(argv=None):
                         "the rebuild-everything-from-raw startup baseline)")
     a.add_argument("--validate_every", type=int, default=5000)
     a.add_argument("--test_every", type=int, default=10000)
-    a.add_argument("--feature_cache_dtype", type=str, default="float32",
+    a.add_argument("--preset", choices=["flagship", "reference"],
+                   default="flagship",
+                   help="flagship (default) starts from examples/"
+                        "{msvd,msrvtt}_flagship.json — the production "
+                        "stack: bundle + HBM cache (bf16) + k=10 dispatch "
+                        "+ Pallas eval with segmented early exit. "
+                        "'reference' starts from plain TrainConfig "
+                        "defaults (every TPU knob off unless flagged)")
+    a.add_argument("--feature_cache_dtype", type=str, default=None,
                    choices=["float32", "bfloat16", "float16"],
                    help="HBM feature-cache storage dtype (half-width "
-                        "halves the warm-start cache upload)")
-    a.add_argument("--steps_per_dispatch", type=int, default=1,
+                        "halves the warm-start cache upload); default: "
+                        "whatever the preset says")
+    a.add_argument("--train_precision", type=str, default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="bf16 runs the forward/backward half-width "
+                        "(params/optimizer stay f32) — score-drift "
+                        "evidence for DESIGN.md §7")
+    a.add_argument("--steps_per_dispatch", type=int, default=None,
                    help="k train steps per device dispatch (bit-identical "
                         "lax.scan; amortizes per-iteration link round-trips "
-                        "on remote-attached chips)")
+                        "on remote-attached chips); default: preset value")
     a.add_argument("--out", type=str, default=None,
                    help="default benchmarks/full_recipe_results.json "
                         "(MSVD) or full_recipe_results_msrvtt.json "
@@ -255,22 +269,45 @@ def main(argv=None):
     from recnet_tpu.utils.compile_cache import enable_compile_cache
     enable_compile_cache()
 
-    # the reference recipe (README.md:84-88): every knob at its default —
-    # batch 100, lr 1e-5/1e-6, wd 1e-5, clip 50, uniform sampling, global
-    # reconstructor; only the data root and cadence overrides differ
-    tc = TrainConfig(
+    # the reference recipe (README.md:84-88): every model/optimizer knob at
+    # its default — batch 100, lr 1e-5/1e-6, wd 1e-5, clip 50, uniform
+    # sampling, global reconstructor. The flagship preset layers the TPU
+    # production stack on top (identical model/training math; the only
+    # numeric effect is the bf16 feature-cache rounding, keyed + pinned).
+    if args.preset == "flagship":
+        preset_path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "examples",
+            "msrvtt_flagship.json" if args.corpus == "MSR-VTT"
+            else "msvd_flagship.json")
+        with open(preset_path) as f:
+            base = TrainConfig.from_json(f.read())
+    else:
+        # the pre-round-5 script defaults: cache + bundle on (both
+        # bit-identical), every other TPU knob off — keeps the recorded
+        # f32/k=1 artifacts reproducible
+        base = TrainConfig(use_recon=True, reconstructor_type="global",
+                           device_feature_cache=True, data_bundle=True)
+    tc = base.replace(
         corpus=args.corpus,
         data_root=args.data_root,
-        use_recon=True, reconstructor_type="global",
         n_iterations=args.iters,
         validate_every=args.validate_every,
         test_every=args.test_every,
         save_every=args.iters,
-        device_feature_cache=not args.no_cache,
-        feature_cache_dtype=args.feature_cache_dtype,
-        data_bundle=not args.no_bundle,
-        steps_per_dispatch=args.steps_per_dispatch,
+        train_precision=args.train_precision,
     )
+    if args.no_cache:
+        tc = tc.replace(device_feature_cache=False)
+    if args.no_bundle:
+        tc = tc.replace(data_bundle=False)
+    if args.feature_cache_dtype is not None:
+        tc = tc.replace(feature_cache_dtype=args.feature_cache_dtype)
+    if args.steps_per_dispatch is not None:
+        tc = tc.replace(steps_per_dispatch=args.steps_per_dispatch)
+    if not tc.device_feature_cache and tc.feature_cache_dtype != "float32":
+        tc = tc.replace(feature_cache_dtype="float32")  # avoid the no-op warn
+    tc.validate()
     run_dir = os.path.join(args.data_root, "run")
     t0 = time.time()
     state = train(tc, loss_only=args.loss_only,
@@ -304,10 +341,14 @@ def main(argv=None):
         "wall_seconds": round(wall, 1),
         "setup_seconds": round(setup_seconds, 1),
         "steps_per_sec": round(args.iters / wall, 1),
-        "device_feature_cache": not args.no_cache,
-        "feature_cache_dtype": args.feature_cache_dtype,
-        "data_bundle": not args.no_bundle,
-        "steps_per_dispatch": args.steps_per_dispatch,
+        "preset": args.preset,
+        "device_feature_cache": tc.device_feature_cache,
+        "feature_cache_dtype": tc.feature_cache_dtype,
+        "data_bundle": tc.data_bundle,
+        "train_precision": tc.train_precision,
+        "steps_per_dispatch": tc.steps_per_dispatch,
+        "use_pallas": tc.use_pallas,
+        "greedy_segment": tc.greedy_segment,
         "final_scores": scores,
         "corpus": f"synthetic {args.corpus}-scale (learnable; see module "
                   "docstring)",

@@ -98,6 +98,10 @@ def main(argv=None):
     if args.data_bundle:
         tc = tc.replace(data_bundle=True)
 
+    # die on incompatible knob combos before any data/devices are touched
+    # (train() re-checks; here the error surfaces at argparse speed)
+    tc.validate(debug=args.debug)
+
     train(tc, debug=args.debug, loss_only=args.loss_only,
           resume_from=args.resume, use_mesh=use_mesh,
           profile_dir=args.profile_dir, keep_last_k=args.keep_last_k,

@@ -335,6 +335,66 @@ class TrainConfig:
     def replace(self, **kw) -> "TrainConfig":
         return dataclasses.replace(self, **kw)
 
+    def validate(self, debug: bool = False) -> "TrainConfig":
+        """Fail loudly on incompatible knob combinations.
+
+        One shared predicate for the train loop, the CLIs and the preset
+        configs (examples/*_flagship.json) — every rule the runtime layers
+        enforce piecemeal, checked up front so a bad config dies at load
+        time instead of minutes into setup. Returns self for chaining.
+        """
+        if self.train_precision not in ("float32", "bfloat16"):
+            raise ValueError(
+                f"Unknown train_precision {self.train_precision!r}; "
+                "expected 'float32' or 'bfloat16'")
+        if self.feature_cache_dtype not in ("float32", "bfloat16",
+                                            "float16"):
+            raise ValueError(
+                f"Unknown feature_cache_dtype {self.feature_cache_dtype!r};"
+                " expected 'float32', 'bfloat16' or 'float16'")
+        k = max(1, int(self.steps_per_dispatch))
+        if k > 1:
+            if debug:
+                raise ValueError("debug mode needs steps_per_dispatch=1 "
+                                 "(it runs every block every iteration)")
+            for name, every in (("log_every", self.log_every),
+                                ("validate_every", self.validate_every),
+                                ("test_every", self.test_every),
+                                ("save_every", self.save_every),
+                                ("n_iterations", self.n_iterations)):
+                if every % k != 0:
+                    raise ValueError(
+                        f"{name}={every} must be a multiple of "
+                        f"steps_per_dispatch={k}")
+        if self.frame_sampling_method != "uniform":
+            if self.device_feature_cache:
+                raise ValueError(
+                    "device_feature_cache requires frame_sampling_method="
+                    "'uniform' (stochastic sampling would be frozen by the "
+                    f"cache); got {self.frame_sampling_method!r}")
+            if self.data_bundle:
+                raise ValueError(
+                    "data bundles require frame_sampling_method='uniform' "
+                    "(stochastic sampling would be frozen by the packed "
+                    f"features); got {self.frame_sampling_method!r}")
+        if self.greedy_segment < 0:
+            raise ValueError(
+                f"greedy_segment must be >= 0, got {self.greedy_segment}")
+        if self.greedy_segment and not self.use_pallas:
+            raise ValueError(
+                "greedy_segment > 0 requires use_pallas=True (the segmented"
+                " early exit is a mode of the Pallas whole-decode kernel)")
+        if self.feature_cache_dtype != "float32" \
+                and not self.device_feature_cache:
+            # the knob only shapes the device caches — without them it
+            # would silently do nothing (ADVICE r4)
+            import warnings
+            warnings.warn(
+                f"feature_cache_dtype={self.feature_cache_dtype!r} has no "
+                "effect because device_feature_cache is off; enable the "
+                "cache or drop the knob", stacklevel=2)
+        return self
+
 
 @dataclass(frozen=True)
 class EvalConfig:

@@ -62,30 +62,17 @@ def train(tc: TrainConfig, debug: bool = False, loss_only: bool = False,
         raise ValueError(
             "multi-process training requires use_mesh=True (one global "
             "mesh); without it each process would train independently")
+    # one shared predicate for every knob-compatibility rule (cadence/k
+    # divisibility, cache+sampling, greedy_segment gating, dtype names) —
+    # the CLIs and presets run the same check at load time
+    tc.validate(debug=debug)
     # k>1: one device dispatch drives k steps via lax.scan (config
     # steps_per_dispatch) — removes per-step host dispatch overhead.
-    # Cadences must land on dispatch boundaries so behavior stays
-    # observationally identical to k=1 (the scan itself is bit-identical,
-    # tests/test_train_step.py).
-    k = max(1, int(getattr(tc, "steps_per_dispatch", 1)))
-    if k > 1:
-        if debug:
-            raise ValueError("debug mode needs steps_per_dispatch=1 "
-                             "(it runs every block every iteration)")
-        for name, every in (("log_every", tc.log_every),
-                            ("validate_every", tc.validate_every),
-                            ("test_every", tc.test_every),
-                            ("save_every", tc.save_every),
-                            ("n_iterations", tc.n_iterations)):
-            if every % k != 0:
-                raise ValueError(
-                    f"{name}={every} must be a multiple of "
-                    f"steps_per_dispatch={k}")
-    cache_dt_name = getattr(tc, "feature_cache_dtype", "float32")
-    if cache_dt_name not in ("float32", "bfloat16", "float16"):
-        raise ValueError(
-            f"Unknown feature_cache_dtype {cache_dt_name!r}; expected "
-            "'float32', 'bfloat16' or 'float16'")
+    # Cadences land on dispatch boundaries (validate() enforced it) so
+    # behavior stays observationally identical to k=1 (the scan itself is
+    # bit-identical, tests/test_train_step.py).
+    k = max(1, int(tc.steps_per_dispatch))
+    cache_dt_name = tc.feature_cache_dtype
     say = print if primary else (lambda *a, **k: None)
     t_setup = time.time()
     say(f"MODEL ID: {tc.id}")
@@ -125,14 +112,6 @@ def train(tc: TrainConfig, debug: bool = False, loss_only: bool = False,
 
     use_cache = bool(getattr(tc, "device_feature_cache", False))
     cache_dtype = jnp.dtype(cache_dt_name)
-    if cache_dt_name != "float32" and not use_cache:
-        # the knob only shapes the device caches — without them it would
-        # silently do nothing (ADVICE r4)
-        import warnings
-        warnings.warn(
-            f"feature_cache_dtype={cache_dt_name!r} has no effect because "
-            "device_feature_cache is off; enable the cache or drop the "
-            "knob", stacklevel=2)
 
     def as_cache_dtype(x):
         # half-width storage halves the upload + HBM residency; the jitted
@@ -152,11 +131,7 @@ def train(tc: TrainConfig, debug: bool = False, loss_only: bool = False,
         return out
 
     if use_cache:
-        if tc.frame_sampling_method != "uniform":
-            raise ValueError(
-                "device_feature_cache requires frame_sampling_method="
-                "'uniform' (stochastic sampling would be frozen by the "
-                f"cache); got {tc.frame_sampling_method!r}")
+        # cache+sampling compatibility was enforced by tc.validate() above
         cache_np = as_cache_dtype(corpus.train_dataset.feature_cache())
         say(f"device feature cache: {cache_np.shape} {cache_dt_name} "
             f"({cache_np.nbytes / 2**20:.0f} MiB resident in HBM)")
