@@ -89,6 +89,44 @@ def train(tc: TrainConfig, debug: bool = False, loss_only: bool = False,
                                   vocab.n_words, vocab.n_words_untrimmed,
                                   tc.min_count))
 
+    use_cache = bool(getattr(tc, "device_feature_cache", False))
+    cache_dtype = jnp.dtype(cache_dt_name)
+
+    def as_cache_dtype(x):
+        # half-width storage halves the upload + HBM residency; the jitted
+        # steps widen gathered rows back to f32 (step.py _gather_f32).
+        # Bundles built under the same config already store this dtype
+        # (bundle.feature_store_dtype), making the cast a no-op here.
+        if x.dtype == cache_dtype:
+            return x
+        out = x.astype(cache_dtype)
+        if cache_dt_name == "float16" and not np.isfinite(out).all():
+            # f16 clips at ±65504 — an overflow here would NaN the loss
+            # with no pointer back to this cast (ADVICE r4); bf16 keeps
+            # the full f32 exponent range and cannot overflow
+            raise ValueError(
+                "feature_cache_dtype='float16' overflowed: features "
+                "exceed the f16 range (±65504); use 'bfloat16' instead")
+        return out
+
+    # Single-host fast path: start the train-cache upload NOW, before state
+    # init, so the two dominant setup costs overlap (the upload is pure
+    # host->device I/O — seconds to tens of seconds on tunneled links at
+    # MSR-VTT scale — while init is compile+dispatch). device_put is a pure
+    # data move, so this changes nothing numerically. Mesh/multihost runs
+    # keep the synchronous order: put_global is a collective whose ordering
+    # must match across ranks.
+    cache_future = None
+    if use_cache and not use_mesh and not multihost:
+        cache_np = as_cache_dtype(corpus.train_dataset.feature_cache())
+        say(f"device feature cache: {cache_np.shape} {cache_dt_name} "
+            f"({cache_np.nbytes / 2**20:.0f} MiB resident in HBM, "
+            "upload overlapped with state init)")
+        from concurrent.futures import ThreadPoolExecutor
+        _upload_pool = ThreadPoolExecutor(max_workers=1)
+        cache_future = _upload_pool.submit(jax.device_put, cache_np)
+        del cache_np                       # the future keeps it alive
+
     state, dcfg, rcfg = init_train_state(
         jax.random.PRNGKey(tc.seed), tc, vocab.n_vocabs)
     if resume_from:
@@ -110,33 +148,17 @@ def train(tc: TrainConfig, debug: bool = False, loss_only: bool = False,
             return jax.device_put(x, mesh_lib.replicated(mesh))
         return jax.device_put(x)
 
-    use_cache = bool(getattr(tc, "device_feature_cache", False))
-    cache_dtype = jnp.dtype(cache_dt_name)
-
-    def as_cache_dtype(x):
-        # half-width storage halves the upload + HBM residency; the jitted
-        # steps widen gathered rows back to f32 (step.py _gather_f32).
-        # Bundles built under the same config already store this dtype
-        # (bundle.feature_store_dtype), making the cast a no-op here.
-        if x.dtype == cache_dtype:
-            return x
-        out = x.astype(cache_dtype)
-        if cache_dt_name == "float16" and not np.isfinite(out).all():
-            # f16 clips at ±65504 — an overflow here would NaN the loss
-            # with no pointer back to this cast (ADVICE r4); bf16 keeps
-            # the full f32 exponent range and cannot overflow
-            raise ValueError(
-                "feature_cache_dtype='float16' overflowed: features "
-                "exceed the f16 range (±65504); use 'bfloat16' instead")
-        return out
-
     if use_cache:
         # cache+sampling compatibility was enforced by tc.validate() above
-        cache_np = as_cache_dtype(corpus.train_dataset.feature_cache())
-        say(f"device feature cache: {cache_np.shape} {cache_dt_name} "
-            f"({cache_np.nbytes / 2**20:.0f} MiB resident in HBM)")
-        cache_dev = put_replicated(cache_np)
-        del cache_np
+        if cache_future is not None:
+            cache_dev = cache_future.result()
+            _upload_pool.shutdown(wait=False)
+        else:
+            cache_np = as_cache_dtype(corpus.train_dataset.feature_cache())
+            say(f"device feature cache: {cache_np.shape} {cache_dt_name} "
+                f"({cache_np.nbytes / 2**20:.0f} MiB resident in HBM)")
+            cache_dev = put_replicated(cache_np)
+            del cache_np
         _cached = (build_train_step_cached(tc, dcfg, rcfg) if k == 1
                    else build_train_multi_step_cached(tc, dcfg, rcfg, k))
         # same call shape as the uncached step: "videos" is the (B,) or
