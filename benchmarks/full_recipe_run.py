@@ -305,8 +305,13 @@ def main(argv=None):
         tc = tc.replace(feature_cache_dtype=args.feature_cache_dtype)
     if args.steps_per_dispatch is not None:
         tc = tc.replace(steps_per_dispatch=args.steps_per_dispatch)
-    if not tc.device_feature_cache and tc.feature_cache_dtype != "float32":
-        tc = tc.replace(feature_cache_dtype="float32")  # avoid the no-op warn
+    if (args.feature_cache_dtype is None and not tc.device_feature_cache
+            and tc.feature_cache_dtype != "float32"):
+        # the PRESET's bf16 default is meaningless under --no_cache; drop
+        # it quietly. An EXPLICIT --feature_cache_dtype flows through to
+        # validate(), whose no-op warning tells the user their flag did
+        # nothing (code review, round 5).
+        tc = tc.replace(feature_cache_dtype="float32")
     tc.validate()
     run_dir = os.path.join(args.data_root, "run")
     t0 = time.time()

@@ -144,6 +144,11 @@ def main(argv=None):
                         "dead tail steps when captions end before max_len "
                         "(0 = single fixed-length kernel)")
     args = a.parse_args(argv)
+    if args.sequential and (args.max_queue or args.deadline_s):
+        # overload shedding lives in the MicroBatcher; a sequential
+        # server would silently drop both knobs (code review, round 5)
+        a.error("--max_queue/--deadline_s need the micro-batched "
+                "front (drop --sequential)")
 
     kw = dict(dtype=args.dtype, batch_size=args.batch_size,
               use_pallas=args.use_pallas,

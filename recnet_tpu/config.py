@@ -352,7 +352,12 @@ class TrainConfig:
             raise ValueError(
                 f"Unknown feature_cache_dtype {self.feature_cache_dtype!r};"
                 " expected 'float32', 'bfloat16' or 'float16'")
-        k = max(1, int(self.steps_per_dispatch))
+        k = int(self.steps_per_dispatch)
+        if k < 1:
+            raise ValueError(
+                f"steps_per_dispatch must be >= 1, got "
+                f"{self.steps_per_dispatch} (1 = one jitted step per "
+                "dispatch; >1 chains k steps in one dispatch)")
         if k > 1:
             if debug:
                 raise ValueError("debug mode needs steps_per_dispatch=1 "

@@ -55,8 +55,11 @@ def pallas_supported(cfg: "dec_mod.DecoderConfig", kind: str) -> bool:
         and the output projection, so any cell/depth qualifies.
 
     Always False off-TPU (Mosaic kernels are TPU-only; CPU tests use
-    ``interpret=True`` on the kernels directly)."""
-    if jax.default_backend() == "cpu":
+    ``interpret=True`` on the kernels directly). The check is
+    ``!= "tpu"`` rather than ``== "cpu"`` so GPU/METAL backends fall back
+    to XLA instead of crashing in a Mosaic lowering (the axon TPU tunnel
+    reports ``"tpu"``)."""
+    if jax.default_backend() != "tpu":
         return False
     if kind == "greedy_whole":
         return cfg.cell_type in ("GRU", "LSTM") and cfg.n_layers == 1

@@ -253,7 +253,7 @@ class MicroBatcher:
         self.n_dispatches = 0
         self.n_coalesced = 0            # dispatches that merged >1 request
         self.n_rejected = 0             # shed at enqueue (queue full)
-        self.n_expired = 0              # failed queued past their deadline
+        self.n_expired = 0              # deadline expiries (queued + in-flight)
         self._thread = threading.Thread(target=self._loop, daemon=True,
                                         name="recnet-microbatcher")
         self._thread.start()
@@ -299,7 +299,17 @@ class MicroBatcher:
         try:
             return fut.result(
                 timeout=self.deadline_s + self.flush_s + 0.05)
-        except _FutTimeout:
+        except (TimeoutError, _FutTimeout):
+            # On py3.11+ concurrent.futures.TimeoutError IS builtin
+            # TimeoutError, so this clause also catches exceptions STORED
+            # on the future (the dispatch thread's own DeadlineExceeded,
+            # or a device/tunnel timeout delivered via set_exception).
+            # Those are not our wait expiring: a done future means the
+            # request ran to completion/failure — surface that verbatim.
+            if fut.done():
+                return fut.result()   # late success, or re-raise as-is
+            with self._cond:
+                self.n_expired += 1   # in-flight expiry (see /healthz)
             raise DeadlineExceeded(
                 f"request not completed within {self.deadline_s}s") from None
 

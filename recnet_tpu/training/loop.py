@@ -71,7 +71,7 @@ def train(tc: TrainConfig, debug: bool = False, loss_only: bool = False,
     # Cadences land on dispatch boundaries (validate() enforced it) so
     # behavior stays observationally identical to k=1 (the scan itself is
     # bit-identical, tests/test_train_step.py).
-    k = max(1, int(tc.steps_per_dispatch))
+    k = int(tc.steps_per_dispatch)   # validate() rejected k < 1 above
     cache_dt_name = tc.feature_cache_dtype
     say = print if primary else (lambda *a, **k: None)
     t_setup = time.time()
@@ -109,6 +109,13 @@ def train(tc: TrainConfig, debug: bool = False, loss_only: bool = False,
                 "exceed the f16 range (±65504); use 'bfloat16' instead")
         return out
 
+    def train_cache_host(suffix=""):
+        # one cast+announce for both the overlapped and synchronous paths
+        cache_np = as_cache_dtype(corpus.train_dataset.feature_cache())
+        say(f"device feature cache: {cache_np.shape} {cache_dt_name} "
+            f"({cache_np.nbytes / 2**20:.0f} MiB resident in HBM{suffix})")
+        return cache_np
+
     # Single-host fast path: start the train-cache upload NOW, before state
     # init, so the two dominant setup costs overlap (the upload is pure
     # host->device I/O — seconds to tens of seconds on tunneled links at
@@ -118,10 +125,7 @@ def train(tc: TrainConfig, debug: bool = False, loss_only: bool = False,
     # must match across ranks.
     cache_future = None
     if use_cache and not use_mesh and not multihost:
-        cache_np = as_cache_dtype(corpus.train_dataset.feature_cache())
-        say(f"device feature cache: {cache_np.shape} {cache_dt_name} "
-            f"({cache_np.nbytes / 2**20:.0f} MiB resident in HBM, "
-            "upload overlapped with state init)")
+        cache_np = train_cache_host(", upload overlapped with state init")
         from concurrent.futures import ThreadPoolExecutor
         _upload_pool = ThreadPoolExecutor(max_workers=1)
         cache_future = _upload_pool.submit(jax.device_put, cache_np)
@@ -154,9 +158,7 @@ def train(tc: TrainConfig, debug: bool = False, loss_only: bool = False,
             cache_dev = cache_future.result()
             _upload_pool.shutdown(wait=False)
         else:
-            cache_np = as_cache_dtype(corpus.train_dataset.feature_cache())
-            say(f"device feature cache: {cache_np.shape} {cache_dt_name} "
-                f"({cache_np.nbytes / 2**20:.0f} MiB resident in HBM)")
+            cache_np = train_cache_host()
             cache_dev = put_replicated(cache_np)
             del cache_np
         _cached = (build_train_step_cached(tc, dcfg, rcfg) if k == 1

@@ -34,6 +34,14 @@ def test_validate_rejects_unknown_cache_dtype():
         TrainConfig(feature_cache_dtype="int8").validate()
 
 
+def test_validate_rejects_nonpositive_steps_per_dispatch():
+    # previously coerced to 1 silently — a typo'd 0/-10 trained at k=1
+    # with no signal (code review, round 5)
+    for bad in (0, -10):
+        with pytest.raises(ValueError, match="steps_per_dispatch"):
+            TrainConfig(steps_per_dispatch=bad).validate()
+
+
 def test_validate_cadence_divisibility():
     # 500 % 3 != 0 — same rule train() enforces
     with pytest.raises(ValueError, match="log_every"):

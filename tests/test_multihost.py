@@ -207,17 +207,28 @@ def test_two_process_bundle_build_is_primary_only(tmp_path):
     out0, err0 = p.communicate(timeout=900)
     assert p.returncode == 0, f"single-process worker failed:\n{err0[-3000:]}"
     base = _digest(out0)
-    bundles = os.path.join(root, "bundles")
-    assert os.path.isdir(bundles) and len(os.listdir(bundles)) == 1
+    assert len(os.listdir(os.path.join(root, "bundles"))) == 1
 
-    outs, results = _run_two_proc(tmp_path, root, "data=8", tag="bundle",
+    # the pod gets a FRESH copy of the fixture (same bytes, no bundle):
+    # the single-process baseline above already built one under `root`,
+    # and a pod run against that root would just load it — never driving
+    # the primary-build/poll path this test exists to cover (code review,
+    # round 5)
+    import shutil
+    pod_root = str(tmp_path / "fixture_pod")
+    shutil.copytree(root, pod_root, ignore=shutil.ignore_patterns("bundles"))
+
+    outs, results = _run_two_proc(tmp_path, pod_root, "data=8", tag="bundle",
                                   bundle=True)
     d0, d1 = (_digest(results[i][0]) for i in range(2))
     assert d0 == d1, f"ranks disagree: {d0} vs {d1}"
     assert d0 == pytest.approx(base, abs=0.0), \
         f"bundled multi-process {d0} != bundled single-process {base}"
-    # the non-primary rank NEVER builds: it either polls for the primary's
-    # atomic rename or loads the finished bundle — both leave no build log
+    # the PRIMARY built during the pod run; the non-primary never builds —
+    # it either polls for the primary's atomic rename or loads the
+    # finished bundle, and neither leaves a build log
+    assert "building" in results[0][1], results[0][1][-2000:]
     assert "building" not in results[1][1], results[1][1][-2000:]
-    # still exactly one bundle on disk (no duplicate keyed dirs)
+    # exactly one bundle on disk (no duplicate keyed dirs)
+    bundles = os.path.join(pod_root, "bundles")
     assert len(os.listdir(bundles)) == 1

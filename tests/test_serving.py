@@ -583,6 +583,48 @@ def test_microbatcher_deadline_fails_queued_requests():
     assert calls_at_drain <= len(served) + 1
 
 
+def test_microbatcher_device_timeout_not_mislabeled_as_deadline():
+    """A device/tunnel failure that happens to be a TimeoutError subclass
+    must surface verbatim, NOT as DeadlineExceeded: on py3.11+
+    concurrent.futures.TimeoutError IS builtin TimeoutError, so a naive
+    except clause around Future.result(timeout=...) would swallow the
+    stored exception and tell the client its own deadline expired
+    (code review, round 5)."""
+    from recnet_tpu.serving import DeadlineExceeded, MicroBatcher
+
+    class _WedgedTunnel:
+        batch_size = 8
+
+        def caption(self, feats, beam_width=None):
+            raise TimeoutError("tunnel wedged mid-decode")
+
+    mb = MicroBatcher(_WedgedTunnel(), flush_ms=1.0, deadline_s=5.0)
+    try:
+        with pytest.raises(TimeoutError, match="tunnel wedged") as exc:
+            mb.caption([np.zeros((4, 8), np.float32)])
+        assert not isinstance(exc.value, DeadlineExceeded)
+        assert mb.n_expired == 0          # a failure is not an expiry
+    finally:
+        mb.close()
+
+
+def test_microbatcher_inflight_expiry_raises_and_counts():
+    """A request dispatched before its deadline but still running past it
+    fails with DeadlineExceeded AND shows up in n_expired (the /healthz
+    counter previously only counted queue-expired requests)."""
+    from recnet_tpu.serving import DeadlineExceeded, MicroBatcher
+
+    cap = _SlowCap(delay_s=1.0)           # decode far outlives the deadline
+    mb = MicroBatcher(cap, flush_ms=1.0, deadline_s=0.2)
+    try:
+        with pytest.raises(DeadlineExceeded, match="not completed"):
+            mb.caption([np.zeros((4, 8), np.float32)])
+        assert mb.n_expired == 1
+        assert cap.calls == 1             # it WAS dispatched (in-flight)
+    finally:
+        mb.close()
+
+
 def test_microbatcher_close_unblocks_queued_waiters():
     """close() with a wedged device must fail still-queued Futures so no
     caller blocks forever (the drain-on-close contract)."""
