@@ -166,6 +166,25 @@ def test_msrvtt_corpus(tmp_path):
     assert batches[0][1].shape[0] == cfg.batch_size
 
 
+def test_score_batches_device_stay_float32_and_memoize(fixture_root):
+    """The device-resident TEST/score features are deliberately OUTSIDE
+    feature_cache_dtype's scope (docs/training.md round-5 scope note):
+    eval decodes them directly — no widen-after-gather in front of the
+    decoder — so half-width storage there would round the decoder's
+    inputs and could move predictions/scores. Pin both the dtype and the
+    build-once memoization so extending the knob must be a conscious,
+    tested change."""
+    cfg = tiny_train_config(fixture_root,
+                            device_feature_cache=True,
+                            feature_cache_dtype="bfloat16")
+    corpus = Corpus(cfg)
+    batches = corpus.score_batches_device()
+    assert batches, "fixture must produce at least one score batch"
+    for _vids, videos in batches:
+        assert videos.dtype == np.float32
+    assert corpus.score_batches_device() is batches   # memoized
+
+
 def test_concat_features(tmp_path):
     import h5py
     from recnet_tpu.data.concat_features import concat_features
