@@ -26,13 +26,43 @@ def _ngram_counts(s: str, n: int = 4) -> Dict[tuple, int]:
 
 
 class Cider:
-    def __init__(self, n: int = 4, sigma: float = 6.0):
+    def __init__(self, n: int = 4, sigma: float = 6.0,
+                 use_native: bool = None):
         self.n = n
         self.sigma = sigma
+        # None = auto (C++ when built); tests force both paths explicitly
+        self.use_native = use_native
 
     def compute_score(self, gts: Dict[str, List[str]],
                       res: Dict[str, List[str]]):
         assert gts.keys() == res.keys()
+        from recnet_tpu.native import HAVE_FASTMETRICS
+        native = (HAVE_FASTMETRICS if self.use_native is None
+                  else self.use_native)
+        if native:
+            return self._compute_score_native(gts, res)
+        return self._compute_score_py(gts, res)
+
+    def _compute_score_native(self, gts, res):
+        """C++ core (native/fastmetrics.cpp cider_stats) — bit-identical
+        to the Python path: it keeps the per-k first-occurrence summation
+        order the dict-based scorer's float results depend on, and calls
+        the same libm functions (tests/test_fastmetrics.py pins exact
+        equality on randomized corpora)."""
+        from recnet_tpu.native import fastmetrics
+        ids = list(gts.keys())
+        table: Dict[str, int] = {}
+        intern = lambda s: [table.setdefault(w, len(table))
+                            for w in s.split()]
+        tests = [intern(res[iid][0]) for iid in ids]
+        refss = [[intern(r) for r in gts[iid]] for iid in ids]
+        stats = fastmetrics.cider_stats(tests, refss, self.n, self.sigma)
+        scores = [float(np.mean(score) / len(gts[iid]) * 10.0)
+                  for iid, score in zip(ids, stats)]
+        return float(np.mean(scores)), np.asarray(scores)
+
+    def _compute_score_py(self, gts: Dict[str, List[str]],
+                          res: Dict[str, List[str]]):
         ids = list(gts.keys())
         crefs = [[_ngram_counts(r, self.n) for r in gts[iid]] for iid in ids]
         ctest = [_ngram_counts(res[iid][0], self.n) for iid in ids]

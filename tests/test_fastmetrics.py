@@ -68,3 +68,47 @@ def test_corpus_scores_identical_with_and_without_ext(monkeypatch):
 
     np.testing.assert_allclose(b_fast, b_py, rtol=1e-12)
     np.testing.assert_allclose(r_fast, r_py, rtol=1e-12)
+
+
+@needs_ext
+def test_cider_native_bit_equals_python():
+    """The C++ CIDEr core preserves the Python scorer's per-k
+    first-occurrence summation order and libm calls, so the contract is
+    BIT equality, not closeness — on random corpora including repeated
+    n-grams, shared refs, and length-penalty-active pairs."""
+    from recnet_tpu.metrics.cider import Cider
+
+    rng = random.Random(3)
+    gts = {f"i{k}": [" ".join(_sent(rng)) for _ in range(rng.randint(1, 6))]
+           for k in range(60)}
+    res = {f"i{k}": [" ".join(_sent(rng))] for k in range(60)}
+    # force hyp/ref overlap so the clipped tf-idf branch is exercised
+    for k in range(0, 60, 3):
+        res[f"i{k}"] = [gts[f"i{k}"][0]]
+
+    s_py, a_py = Cider(use_native=False).compute_score(gts, res)
+    s_cc, a_cc = Cider(use_native=True).compute_score(gts, res)
+    assert s_py == s_cc
+    assert (a_py == a_cc).all()
+
+
+@needs_ext
+def test_cider_native_edge_cases():
+    from recnet_tpu.metrics.cider import Cider
+
+    gts = {
+        "empty_hyp": ["a b c", "b c d"],
+        "one_word": ["a", "b"],
+        "repeats": ["a a a a b b", "a b a b"],
+        "long": [" ".join("a b c d e f g h i j".split() * 3)],
+    }
+    res = {
+        "empty_hyp": [""],
+        "one_word": ["a"],
+        "repeats": ["a a b"],
+        "long": ["a b c d e"],
+    }
+    s_py, a_py = Cider(use_native=False).compute_score(gts, res)
+    s_cc, a_cc = Cider(use_native=True).compute_score(gts, res)
+    assert s_py == s_cc
+    assert (a_py == a_cc).all()
