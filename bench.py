@@ -217,10 +217,36 @@ def _load_prior():
     return newest
 
 
+def _link_probe(env, timeout_s: float = 120.0):
+    """Time a trivial jit matmul round-trip (compile-cache-friendly shape)
+    in a fresh subprocess — the tunnel's health gauge. Normal phases fetch
+    in <1 s; the worst observed wedge held >115 s for hours (NOTES.md
+    round 5). Recording it in the artifact makes a degraded-phase capture
+    self-explaining: a big vs_prior drop WITH a pathological probe time is
+    the link, not a kernel regression."""
+    code = (
+        "import time, numpy as np, jax, jax.numpy as jnp\n"
+        "x = jnp.ones((256, 256), jnp.bfloat16)\n"
+        "t0 = time.perf_counter(); np.asarray(x @ x)\n"
+        "print(round(time.perf_counter() - t0, 2))\n")
+    try:
+        proc = subprocess.run([sys.executable, "-c", code], cwd=REPO,
+                              env=env, stdout=subprocess.PIPE,
+                              stderr=subprocess.DEVNULL, text=True,
+                              timeout=timeout_s)
+        return float(proc.stdout.strip().splitlines()[-1])
+    except Exception:
+        return None         # wedged past the timeout (or no device)
+
+
 def _result_line(best: float, best_att, device: str,
-                 summaries=None, prior=None) -> str:
+                 summaries=None, prior=None, link_probe=None) -> str:
     detail = {"decode_steps": 31, "vocab": 4188, "dtype": "bfloat16",
               "device": device}
+    if link_probe is not None:
+        detail["link_probe_s"] = link_probe
+    else:
+        detail["link_probe_s"] = "timeout (wedged tunnel phase)"
     if best_att:
         detail["batch_size"] = best_att["batch"]
         detail["path"] = best_att["path"]
@@ -273,6 +299,10 @@ def main():
     best, best_att, device = 0.0, None, "?"
     summaries = {}
     prior = _load_prior()
+    t0 = time.time()
+    link_probe = _link_probe(env)
+    _log(f"link probe: {link_probe if link_probe is not None else 'WEDGED'}"
+         f" (measured in {time.time() - t0:.0f}s)")
     for i, att in enumerate(ATTEMPTS):
         remaining = deadline - time.time()
         if best > 0 and remaining < 60:
@@ -319,11 +349,12 @@ def main():
         # parses the tail, so an external kill after this point still
         # captures everything measured so far (VERDICT r2 item 1)
         if best > 0:
-            print(_result_line(best, best_att, device, summaries, prior),
-                  flush=True)
+            print(_result_line(best, best_att, device, summaries, prior,
+                               link_probe), flush=True)
 
     # final line: overall best (or an explicit zero record)
-    print(_result_line(best, best_att, device, summaries, prior), flush=True)
+    print(_result_line(best, best_att, device, summaries, prior, link_probe),
+          flush=True)
 
 
 if __name__ == "__main__":

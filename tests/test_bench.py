@@ -192,6 +192,19 @@ def test_drop_beyond_noise_band_is_flagged_as_regression(
     assert cmp["verdict"].startswith("REGRESSION")
 
 
+def test_result_line_carries_link_probe(monkeypatch, capsys):
+    """The artifact records the tunnel-phase gauge: a float when the probe
+    completed, an explicit wedged marker when it timed out — so a vs_prior
+    drop captured in a degraded phase is self-explaining."""
+    att = {"batch": 49152, "path": "pallas_whole"}
+    out = json.loads(bench._result_line(150000.0, att, "TPU v5",
+                                        link_probe=0.35))
+    assert out["detail"]["link_probe_s"] == 0.35
+    out = json.loads(bench._result_line(150000.0, att, "TPU v5",
+                                        link_probe=None))
+    assert "wedged" in out["detail"]["link_probe_s"]
+
+
 def test_load_prior_reads_newest_driver_artifact():
     """On this checkout _load_prior must find BENCH_r04.json (190,098.3)
     and skip the killed-run r02 whose parsed field is null."""
