@@ -88,6 +88,26 @@ def ptb_tokenize_line(line: str, lowercase: bool = True) -> List[str]:
     return tokens
 
 
+# caption string -> tokenized string. Pure function, so a capped memo is
+# exact (the stemmer got the same treatment in round 4). The payoff is the
+# training loop's periodic test evals: the GT side of every evaluate() call
+# re-tokenizes the SAME fixed corpus captions — 2 search methods × every
+# test block — ~1 s each at MSR-VTT scale, all but the first now free.
+_MEMO: Dict[str, str] = {}
+_MEMO_MAX = 1 << 20
+
+
+def _tokenize_caption(caption: str) -> str:
+    hit = _MEMO.get(caption)
+    if hit is not None:
+        return hit
+    toks = ptb_tokenize_line(caption)
+    out = " ".join(t for t in toks if t not in PUNCTUATIONS)
+    if len(_MEMO) < _MEMO_MAX:
+        _MEMO[caption] = out
+    return out
+
+
 class PTBTokenizer:
     """Drop-in for the reference wrapper: dict {id: [{'caption': str}]} →
     dict {id: [tokenized_str]}, punctuation list removed
@@ -95,11 +115,5 @@ class PTBTokenizer:
 
     def tokenize(self, captions_for_image: Dict[str, List[dict]]
                  ) -> Dict[str, List[str]]:
-        out: Dict[str, List[str]] = {}
-        for k, anns in captions_for_image.items():
-            out[k] = []
-            for ann in anns:
-                toks = ptb_tokenize_line(ann["caption"])
-                out[k].append(" ".join(
-                    t for t in toks if t not in PUNCTUATIONS))
-        return out
+        return {k: [_tokenize_caption(ann["caption"]) for ann in anns]
+                for k, anns in captions_for_image.items()}
