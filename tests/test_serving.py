@@ -583,6 +583,17 @@ def test_microbatcher_deadline_fails_queued_requests():
     assert calls_at_drain <= len(served) + 1
 
 
+def test_serve_cli_rejects_sequential_with_overload_knobs():
+    """--max_queue/--deadline_s are MicroBatcher features; a sequential
+    server would silently drop them (code review, round 5) — the CLI must
+    refuse the combination at parse time, before touching the checkpoint."""
+    from recnet_tpu.cli.serve import main as serve_main
+
+    for extra in (["--max_queue", "8"], ["--deadline_s", "2"]):
+        with pytest.raises(SystemExit):
+            serve_main(["--ckpt", "/nonexistent", "--sequential"] + extra)
+
+
 def test_microbatcher_device_timeout_not_mislabeled_as_deadline():
     """A device/tunnel failure that happens to be a TimeoutError subclass
     must surface verbatim, NOT as DeadlineExceeded: on py3.11+
