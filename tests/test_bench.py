@@ -32,10 +32,15 @@ def _parse_lines(capsys):
     return parsed
 
 
-def _run_main(monkeypatch, capsys, runner, budget="1100"):
+def _run_main(monkeypatch, capsys, runner, budget="1100",
+              probe_wait="0"):
     monkeypatch.setenv("BENCH_BUDGET_S", budget)
     monkeypatch.setenv("BENCH_ATTEMPT_S", "480")
     monkeypatch.setenv("BENCH_FIRST_ATTEMPT_S", "300")
+    # the fake runner makes every link probe read as wedged; zero wait
+    # budget (the default here) keeps the oscillation defense from
+    # sleeping in tests that don't exercise it
+    monkeypatch.setenv("BENCH_PROBE_WAIT_S", probe_wait)
     monkeypatch.setattr(subprocess, "run", runner)
     bench.main()
     return _parse_lines(capsys)[-1]  # driver contract: last line wins
@@ -117,6 +122,7 @@ def test_result_streamed_before_later_attempts(monkeypatch, capsys):
     monkeypatch.setenv("BENCH_BUDGET_S", "1100")
     monkeypatch.setenv("BENCH_ATTEMPT_S", "480")
     monkeypatch.setenv("BENCH_FIRST_ATTEMPT_S", "300")
+    monkeypatch.setenv("BENCH_PROBE_WAIT_S", "0")
     monkeypatch.setattr(subprocess, "run", fake_run)
     with pytest.raises(KeyboardInterrupt):
         bench.main()
@@ -140,12 +146,66 @@ def test_every_completed_attempt_streams_a_line(monkeypatch, capsys):
     monkeypatch.setenv("BENCH_BUDGET_S", "1100")
     monkeypatch.setenv("BENCH_ATTEMPT_S", "480")
     monkeypatch.setenv("BENCH_FIRST_ATTEMPT_S", "300")
+    monkeypatch.setenv("BENCH_PROBE_WAIT_S", "0")
+    # headline already above the prior -> no leftover-budget retries
+    monkeypatch.setattr(bench, "_load_prior", lambda: (4, 150000.0))
     monkeypatch.setattr(subprocess, "run", fake_run)
     bench.main()
     parsed = _parse_lines(capsys)
-    # 5 attempts + 1 final summary
+    # 6 attempts + 1 final summary
     assert len(parsed) == len(bench.ATTEMPTS) + 1
     assert parsed[-1]["value"] == parsed[-2]["value"] == 189000.0
+
+
+def test_wedged_opening_probe_waits_for_a_healthy_window(monkeypatch,
+                                                         capsys):
+    """Oscillating-tunnel defense: a wedged opening probe re-probes (with
+    sleeps) until the link turns healthy, and only then starts burning
+    attempt windows — the probe history lands in the artifact."""
+    probes = iter([None, 42.0, 0.4])   # wedged, degraded, healthy
+    slept = []
+    monkeypatch.setattr(bench, "_link_probe",
+                        lambda env, timeout_s=120.0: next(probes))
+    monkeypatch.setattr(bench.time, "sleep", lambda s: slept.append(s))
+
+    def fake_run(cmd, **kw):
+        return _FakeProc(json.dumps(
+            {"captions_per_sec": 200000.0, "device": "TPU v5 lite0"}))
+
+    monkeypatch.setattr(bench, "_load_prior", lambda: (4, 190098.3))
+    out = _run_main(monkeypatch, capsys, fake_run, budget="1100",
+                    probe_wait="240")
+    # two sleeps: after the wedged and after the degraded probe
+    assert slept == [60, 60]
+    assert out["detail"]["link_probe_s"] == 0.4
+    assert out["detail"]["link_probes"] == ["wedged", 42.0, 0.4]
+
+
+def test_leftover_budget_retries_headline_shape(monkeypatch, capsys):
+    """A degraded first pass over the headline shape must not freeze an
+    understated number into the artifact: leftover budget re-measures the
+    largest pallas batch until it reaches the prior round's value."""
+    headline_rates = iter([120000.0, 191000.0])   # degraded, then healthy
+    calls = []
+
+    def fake_run(cmd, **kw):
+        code = cmd[-1]
+        batch = int(code.split("(")[1].split(",")[0])
+        calls.append(batch)
+        r = 30000.0 if batch != 49152 else next(headline_rates)
+        return _FakeProc(json.dumps(
+            {"captions_per_sec": r, "device": "TPU v5 lite0"}))
+
+    # healthy link throughout; no sleeps needed
+    monkeypatch.setattr(bench, "_link_probe",
+                        lambda env, timeout_s=120.0: 0.3)
+    monkeypatch.setattr(bench, "_load_prior", lambda: (4, 190098.3))
+    out = _run_main(monkeypatch, capsys, fake_run)
+    # exactly one retry: the second headline measurement reached the prior
+    assert calls.count(49152) == 2
+    assert out["value"] == 191000.0
+    assert out["detail"]["batch_size"] == 49152
+    assert out["detail"]["vs_prior"]["delta_pct"] > 0
 
 
 def test_artifact_carries_round_distributions_and_prior_delta(
