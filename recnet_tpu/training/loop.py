@@ -75,6 +75,17 @@ def train(tc: TrainConfig, debug: bool = False, loss_only: bool = False,
     cache_dt_name = tc.feature_cache_dtype
     say = print if primary else (lambda *a, **k: None)
     t_setup = time.time()
+    # per-stage setup attribution: (name, seconds since the previous mark)
+    # — printed with the [setup] line so a slow start is diagnosable from
+    # any run's log (corpus build vs state-init compile vs cache uploads)
+    _stages, _t_mark = [], t_setup
+
+    def mark(name):
+        nonlocal _t_mark
+        now = time.time()
+        _stages.append((name, now - _t_mark))
+        _t_mark = now
+
     say(f"MODEL ID: {tc.id}")
     say(f"DEBUG MODE: {'ON' if debug else 'OFF'}")
 
@@ -89,6 +100,7 @@ def train(tc: TrainConfig, debug: bool = False, loss_only: bool = False,
                                   vocab.n_words, vocab.n_words_untrimmed,
                                   tc.min_count))
 
+    mark("corpus")
     use_cache = bool(getattr(tc, "device_feature_cache", False))
     cache_dtype = jnp.dtype(cache_dt_name)
 
@@ -130,9 +142,11 @@ def train(tc: TrainConfig, debug: bool = False, loss_only: bool = False,
         _upload_pool = ThreadPoolExecutor(max_workers=1)
         cache_future = _upload_pool.submit(jax.device_put, cache_np)
         del cache_np                       # the future keeps it alive
+        mark("cache-host+dispatch")
 
     state, dcfg, rcfg = init_train_state(
         jax.random.PRNGKey(tc.seed), tc, vocab.n_vocabs)
+    mark("state-init")
     if resume_from:
         state, meta = ckpt.load_checkpoint(resume_from, state)
         say(f"Resumed from {resume_from} at step {meta['step']}")
@@ -180,6 +194,8 @@ def train(tc: TrainConfig, debug: bool = False, loss_only: bool = False,
             dp, rp, val_cache_dev, rows, caps)
     else:
         val_step = build_val_step(tc, dcfg, rcfg)
+    if use_cache:
+        mark("cache-wait+val-cache")
     rng = jax.random.PRNGKey(tc.seed + 1)
     if multihost:
         # every jit input must be a global array when the mesh spans
@@ -212,7 +228,11 @@ def train(tc: TrainConfig, debug: bool = False, loss_only: bool = False,
     # data bundle exists to kill — make it visible on every run
     global LAST_SETUP_SECONDS
     LAST_SETUP_SECONDS = time.time() - t_setup
-    say(f"[setup] corpus + state ready in {LAST_SETUP_SECONDS:.1f}s")
+    mark("rest")
+    breakdown = " | ".join(f"{n} {dt:.1f}s" for n, dt in _stages
+                           if dt >= 0.05)
+    say(f"[setup] corpus + state ready in {LAST_SETUP_SECONDS:.1f}s "
+        f"({breakdown})")
     t_start = time.time()
     start_iter = int(state.step)
 
