@@ -27,12 +27,22 @@ jax.config.update("jax_platforms", "cpu")
 # tests are compile-bound on this 1-core host — a warm second run loads
 # those XLA programs from disk instead of re-optimizing them. Correctness
 # is unaffected (the cache keys on the full HLO + flags); per-uid path so
-# multi-user hosts don't collide. NOTE: must go through jax.config.update
-# — the image's sitecustomize imports jax at interpreter start, so the
-# JAX_COMPILATION_CACHE_DIR env var is read before conftest runs.
+# multi-user hosts don't collide, and keyed on the host's CPU feature set
+# (fixtures.host_cache_tag) so a /tmp cache surviving a re-image onto
+# different hardware starts fresh instead of hitting slow per-entry
+# machine-feature-mismatch AOT load fallbacks. NOTE: must go through
+# jax.config.update — the image's sitecustomize imports jax at interpreter
+# start, so the JAX_COMPILATION_CACHE_DIR env var is read before conftest
+# runs.
+import sys as _sys  # noqa: E402
+
+_sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from fixtures import host_cache_tag  # noqa: E402
+
 _TESTS_JAX_CACHE = os.path.join(
     tempfile.gettempdir(),
-    f"recnet_tests_jaxcache_{os.getuid() if hasattr(os, 'getuid') else 'u'}")
+    f"recnet_tests_jaxcache_"
+    f"{os.getuid() if hasattr(os, 'getuid') else 'u'}_{host_cache_tag()}")
 jax.config.update("jax_compilation_cache_dir", _TESTS_JAX_CACHE)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 

@@ -16,6 +16,30 @@ WORDS = ("a man is playing guitar the dog runs fast cat jumps high "
          "two people are dancing slowly").split()
 
 
+def host_cache_tag() -> str:
+    """Short fingerprint of this host's CPU feature set, for keying
+    persistent XLA compile caches. XLA's CPU cache entries embed AOT
+    machine code compiled for the build host's exact feature set; a cache
+    directory surviving a re-image onto different hardware then produces
+    per-entry "machine feature mismatch" load fallbacks — slow enough to
+    blow gloo's hard 30 s rendezvous in the 2-process pod tests (observed:
+    an amx-era cache on an avx512-only host). Keying the path on the
+    feature flags makes a changed host start a fresh cache instead."""
+    import hashlib
+    import platform
+    feats = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    feats = " ".join(sorted(line.split(":", 1)[1].split()))
+                    break
+    except OSError:
+        pass
+    return hashlib.sha256(
+        (platform.machine() + " " + feats).encode()).hexdigest()[:8]
+
+
 def make_msvd_fixture(root: str, n_videos: int = 12, feat_dim: int = 32,
                       captions_per_video: int = 3, seed: int = 0,
                       corpus: str = "MSVD", encoder: str = "Tiny",

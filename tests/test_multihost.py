@@ -38,10 +38,17 @@ WORKER = os.path.join(HERE, "multihost_worker.py")
 # hard 30 s; on a slow or contended host two fresh interpreters compiling
 # the SPMD program concurrently can miss it (the failure lands at the
 # first collective dispatch, AFTER compile) — with the cache, a retry
-# compiles in milliseconds and the ranks rendezvous comfortably.
+# compiles in milliseconds and the ranks rendezvous comfortably. Keyed on
+# the host CPU feature set (fixtures.host_cache_tag): a stale cache from a
+# different machine image hits slow machine-feature-mismatch AOT load
+# fallbacks, which push a rank past the same 30 s rendezvous (observed).
+sys.path.insert(0, HERE)
+from fixtures import host_cache_tag  # noqa: E402
+
 _JAX_CACHE = os.path.join(
     tempfile.gettempdir(),
-    f"recnet_multihost_jaxcache_{os.getuid() if hasattr(os, 'getuid') else 'u'}")
+    f"recnet_multihost_jaxcache_"
+    f"{os.getuid() if hasattr(os, 'getuid') else 'u'}_{host_cache_tag()}")
 
 
 def _free_port() -> int:
